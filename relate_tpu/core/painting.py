@@ -1,0 +1,547 @@
+"""Li & Stephens chromosome-painting HMM — TPU-native implementation.
+
+Behavioral reference: ``include/src/fast_painting.cpp`` (PaintSteppingStones
+:17-618, RePaintSection :620-1092). This is a from-scratch JAX design, not a
+port: the per-haplotype sequential C++ loops become a single batched
+``lax.scan`` over *derived-site steps*, with all target haplotypes advanced in
+lockstep and emission rows gathered from an HBM-resident genotype panel.
+
+Model recap (per target haplotype k):
+- The chain runs only over k's *derived* sites (plus the first and last SNP of
+  the range); recombination over skipped sites is folded into one transition
+  with probability ``p_j = 1 - exp(-sum r)`` capped at 0.99
+  (fast_painting.cpp:118-121).
+- Emission at a derived step multiplies sources that do NOT carry the derived
+  allele by ``theta/(1-theta)``; the common ``(1-theta)`` factor per step is
+  absorbed into a running logscale (the ``nor_x_theta`` trick,
+  fast_painting.cpp:112-121,291).
+- alpha/beta are dynamically rescaled into [1e-10, 1e10]
+  (fast_painting.hpp:28-29).
+- Quirks replicated for parity: the backward transition into step j uses the
+  interval factor of step j+1 (the reference decrements its r-prob iterator
+  *after* using it, fast_painting.cpp:553-556,1063-1066), and a posterior row
+  at which a backward rescale triggers stores the pre-rescale beta while its
+  logscale includes the rescale correction (fast_painting.cpp:1033-1061);
+  both cancel in the row-min-normalized distance matrix.
+
+Memory model: the full posterior for one window is materialized at once —
+windows are sized upstream so that ``sum_k D_k * (N+1)`` floats fit the budget
+(same model as data.cpp:219-229), so this tensor is HBM-bounded by design.
+Stepping-stone checkpoints between windows are the scan-level analog of
+activation checkpointing / remat.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOWER_RESCALE = 1e-10
+UPPER_RESCALE = 1e10
+P_CAP = 0.99
+
+
+@dataclass(frozen=True)
+class PaintingModel:
+    """Scalar painting parameters (data.cpp:81, fast_painting.hpp:26-39)."""
+    N: int
+    theta: float = 0.001
+
+    @property
+    def ntheta(self) -> float:
+        return 1.0 - self.theta
+
+    @property
+    def theta_ratio(self) -> float:
+        # emission trick multiplier: em = 1 + theta_ratio * mismatch
+        return self.theta / (1.0 - self.theta) - 1.0
+
+    @property
+    def prior_theta(self) -> float:
+        return self.theta / (self.N - 1.0) - self.ntheta / (self.N - 1.0)
+
+    @property
+    def prior_ntheta(self) -> float:
+        return self.ntheta / (self.N - 1.0)
+
+    @property
+    def log_ntheta(self) -> float:
+        return float(np.log(self.ntheta))
+
+
+class TargetPlan(NamedTuple):
+    """Host-precomputed, padded per-target derived-site step arrays.
+
+    ``idx[b, j]`` is the absolute SNP index (into the chunk) of target b's
+    j-th step; padded steps repeat the final site and have zero transition.
+    """
+    targets: np.ndarray       # (B,) target haplotype ids
+    idx: np.ndarray           # (B, Dmax) int32 site index per step
+    seqk: np.ndarray          # (B, Dmax) uint8 target allele at that site
+    pfac: np.ndarray          # (B, Dmax) f32 p/((1-p)(N-1)) per interval
+    nxt: np.ndarray           # (B, Dmax) f32 -raw + log(1-theta) per interval
+    D: np.ndarray             # (B,) int32 true number of steps
+    kmask: np.ndarray         # (B, N) f32: 0.0 at target's own column else 1.0
+
+    @property
+    def Dmax(self) -> int:
+        return self.idx.shape[1]
+
+
+def build_target_plan(G: np.ndarray, r: np.ndarray, model: PaintingModel,
+                      first_arr, last_arr,
+                      targets: Optional[np.ndarray] = None,
+                      final_raw: Optional[np.ndarray] = None) -> TargetPlan:
+    """Vectorized host precompute of derived-site steps, replicating
+    fast_painting.cpp:640-716. ``first_arr``/``last_arr`` may be scalars or
+    per-target arrays (stepping-stone boundaries differ per target).
+
+    Derived steps of target k = {first} u {l in (first,last): G[l,k]=1} u
+    {last}. Interval j accumulates r over [idx_j, idx_{j+1}); the final
+    interval is r[last] alone.
+    """
+    L, N = G.shape
+    if targets is None:
+        targets = np.arange(N, dtype=np.int32)
+    targets = np.asarray(targets, dtype=np.int32)
+    B = len(targets)
+    first_arr = np.broadcast_to(np.asarray(first_arr, dtype=np.int64), (B,))
+    last_arr = np.broadcast_to(np.asarray(last_arr, dtype=np.int64), (B,))
+
+    S = np.zeros(L + 1, dtype=np.float64)
+    np.cumsum(r, out=S[1:])
+
+    idx_list = []
+    for b, k in enumerate(targets):
+        first, last = int(first_arr[b]), int(last_arr[b])
+        inner = first + 1 + np.nonzero(G[first + 1:last, k])[0]
+        idx_list.append(np.concatenate([[first], inner, [last]]))
+    D = np.asarray([len(x) for x in idx_list], dtype=np.int32)
+    Dmax = int(D.max())
+    idx = np.empty((B, Dmax), dtype=np.int64)
+    for b in range(B):
+        idx[b, : D[b]] = idx_list[b]
+        idx[b, D[b]:] = idx_list[b][-1]
+
+    bidx = np.arange(B)[:, None]
+    nxt_pos = np.minimum(np.arange(Dmax)[None, :] + 1, D[:, None] - 1)
+    raw = S[idx[bidx, nxt_pos]] - S[idx]
+    for b in range(B):
+        # interval past the range end: r[last] alone for a plain repaint
+        # (the reference's "technicality", fast_painting.cpp:711-712), or an
+        # explicit override (checkpoint chaining extends it to the next
+        # derived site beyond the window, matching the full-pass intervals).
+        raw[b, D[b] - 1] = (r[int(last_arr[b])] if final_raw is None
+                            else final_raw[b])
+        raw[b, D[b]:] = 0.0
+
+    p = 1.0 - np.exp(-raw)
+    capped = p > P_CAP
+    p = np.where(capped, P_CAP, p)
+    nxt = np.where(capped, np.log(0.01) + model.log_ntheta,
+                   -raw + model.log_ntheta)
+    pfac = p / ((1.0 - p) * (model.N - 1.0))
+    pad = np.arange(Dmax)[None, :] >= D[:, None]
+    pfac = np.where(pad, 0.0, pfac)
+    nxt = np.where(pad, 0.0, nxt)
+
+    seqk = G[idx, targets[:, None]].astype(np.uint8)
+    kmask = np.ones((B, N), dtype=np.float32)
+    kmask[np.arange(B), targets] = 0.0
+    return TargetPlan(targets=targets, idx=idx.astype(np.int32), seqk=seqk,
+                      pfac=pfac.astype(np.float32), nxt=nxt.astype(np.float32),
+                      D=D, kmask=kmask)
+
+
+def initial_alpha(G: np.ndarray, model: PaintingModel, first: int,
+                  targets: np.ndarray) -> np.ndarray:
+    """Prior-times-emission alpha at the first chromosome site
+    (fast_painting.cpp:205-230)."""
+    row = G[first]
+    seqk = G[first, targets]
+    derived = (seqk[:, None] > row[None, :]).astype(np.float32)
+    alpha0 = derived * model.prior_theta + model.prior_ntheta
+    alpha0[np.arange(len(targets)), targets] = 0.0
+    return alpha0.astype(np.float32)
+
+
+def normalizing_constant(model: PaintingModel, num_steps) -> np.ndarray:
+    """log(N-1) - D*log(1-theta) (fast_painting.cpp:399), per target."""
+    return np.asarray(np.log(model.N - 1.0)
+                      - np.asarray(num_steps) * model.log_ntheta,
+                      dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+def _rescale(vec, s):
+    """Dynamic rescale into [1e-10, 1e10]; returns (vec', logcorr, s_eff)."""
+    cond = (s < LOWER_RESCALE) | (s > UPPER_RESCALE)
+    safe = jnp.where(s > 0, s, 1.0)
+    vec2 = jnp.where(cond[:, None], vec / safe[:, None], vec)
+    logcorr = jnp.where(cond, jnp.log(safe), 0.0)
+    s_eff = jnp.where(cond, 1.0, s)
+    return vec2, logcorr, s_eff
+
+
+def make_painting_kernels(model: PaintingModel):
+    """Jitted forward / backward+posterior scan kernels for this model.
+
+    Scalars are closed over as compile-time constants; the jit cache is keyed
+    by shapes only.
+    """
+    theta = jnp.float32(model.theta)
+    ntheta = jnp.float32(model.ntheta)
+    theta_ratio = jnp.float32(model.theta_ratio)
+
+    def fwd(G, idx, seqk, pfac, nxt, D, kmask, alpha0):
+        """Forward pass from a checkpoint alpha row.
+
+        Emitted logscales are *relative* to the checkpoint's logscale: the
+        large absolute base is chained in float64 on the host
+        (fast_painting.cpp accumulates prev_logscale in double; carrying a
+        small relative value keeps float32 accurate on TPU).
+        Returns (alphas (Dmax,B,N), ls_rel (Dmax,B))."""
+        B, Dmax = idx.shape
+        ls0 = jnp.zeros((B,), jnp.float32)
+        alpha0 = alpha0 * kmask
+        asum0 = alpha0.sum(axis=1)
+        step_valid = (jnp.arange(1, Dmax)[:, None] < D[None, :])
+
+        def step(carry, xs):
+            alpha, ls, asum_eff = carry
+            t_idx, t_seqk, t_pfac_prev, t_nxt_prev, t_valid = xs
+            rx = asum_eff * t_pfac_prev
+            grow = G[t_idx]                                   # (B, N) gather
+            mism = (t_seqk[:, None] > grow).astype(jnp.float32)
+            em = 1.0 + theta_ratio * mism
+            alpha_new = (alpha + rx[:, None]) * em * kmask
+            ls_new = ls + t_nxt_prev
+            asum = alpha_new.sum(axis=1)
+            alpha_new, logcorr, asum_eff_new = _rescale(alpha_new, asum)
+            ls_new = ls_new + logcorr
+            v = t_valid
+            alpha_new = jnp.where(v[:, None], alpha_new, alpha)
+            ls_new = jnp.where(v, ls_new, ls)
+            asum_eff_new = jnp.where(v, asum_eff_new, asum_eff)
+            return (alpha_new, ls_new, asum_eff_new), (alpha_new, ls_new)
+
+        xs = (idx[:, 1:].T, seqk[:, 1:].T, pfac[:, :-1].T, nxt[:, :-1].T,
+              step_valid)
+        _, (alphas, lss) = jax.lax.scan(step, (alpha0, ls0, asum0), xs)
+        alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+        lss = jnp.concatenate([ls0[None], lss], axis=0)
+        return alphas, lss
+
+    def bwd(G, ridx, rseqk, rpfac_next, rnxt, D, kmask,
+            arev, lsf_rev, beta_end):
+        """Backward pass in reversed step order (u=0 is step j=D-1), fused
+        with the posterior computation.
+
+        Returns (topo_rev (Dmax,B,N), lstot_rev (Dmax,B),
+                 beta_rev (Dmax,B,N), lsb_rev (Dmax,B)) where beta rows are
+        post-rescale and lsb is the backward-only logscale (for checkpoint
+        extraction), while topo rows keep the reference's pre-rescale quirk.
+        """
+        B, Dmax = ridx.shape
+        ls_beta = jnp.zeros((ridx.shape[0],), jnp.float32)
+        beta0 = beta_end * kmask
+        grow0 = G[ridx[:, 0]]
+        w0 = jnp.where(rseqk[:, 0][:, None] > grow0, theta, ntheta)
+        bsum0 = (w0 * beta0).sum(axis=1)
+        topo0 = arev[0] * beta0
+        lstot0 = lsf_rev[0] + ls_beta
+        step_valid = (jnp.arange(1, Dmax)[:, None] < D[None, :])
+
+        def step(carry, xs):
+            beta, prev_ls, bsum_eff = carry
+            (u_idx, u_seqk, u_pfac_next, u_nxt, u_valid,
+             prev_idx, prev_seqk, a_row, lsf_row) = xs
+            rx = bsum_eff * u_pfac_next
+            grow_next = G[prev_idx]
+            dnext = (prev_seqk[:, None] > grow_next).astype(jnp.float32)
+            b1 = rx / ntheta
+            bt = rx / theta - b1
+            em_next = 1.0 + theta_ratio * dnext
+            beta_new = (beta + dnext * bt[:, None] + b1[:, None]) * em_next
+            beta_new = beta_new * kmask
+            prev_ls_new = prev_ls + u_nxt
+            ls_row = lsf_row + prev_ls_new
+            grow = G[u_idx]
+            w = jnp.where(u_seqk[:, None] > grow, theta, ntheta)
+            bsum = (w * beta_new).sum(axis=1)
+            topo = a_row * beta_new      # pre-rescale, as in the reference
+            beta_new, logcorr, bsum_eff_new = _rescale(beta_new, bsum)
+            prev_ls_new = prev_ls_new + logcorr
+            ls_row = ls_row + logcorr    # reference adds the correction here
+            v = u_valid
+            beta_new = jnp.where(v[:, None], beta_new, beta)
+            prev_ls_new = jnp.where(v, prev_ls_new, prev_ls)
+            bsum_eff_new = jnp.where(v, bsum_eff_new, bsum_eff)
+            return ((beta_new, prev_ls_new, bsum_eff_new),
+                    (topo, ls_row, beta_new, prev_ls_new))
+
+        xs = (ridx[:, 1:].T, rseqk[:, 1:].T, rpfac_next[:, 1:].T,
+              rnxt[:, 1:].T, step_valid,
+              ridx[:, :-1].T, rseqk[:, :-1].T, arev[1:], lsf_rev[1:])
+        _, (topos, lss, betas, lsbs) = jax.lax.scan(
+            step, (beta0, ls_beta, bsum0), xs)
+        topo_rev = jnp.concatenate([topo0[None], topos], axis=0)
+        lstot_rev = jnp.concatenate([lstot0[None], lss], axis=0)
+        beta_rev = jnp.concatenate([beta0[None], betas], axis=0)
+        lsb_rev = jnp.concatenate([ls_beta[None], lsbs], axis=0)
+        return topo_rev, lstot_rev, beta_rev, lsb_rev
+
+    return jax.jit(fwd), jax.jit(bwd)
+
+
+def _reverse_plan(plan: TargetPlan):
+    """Host: reversed step arrays for the backward scan.
+
+    Returns (ridx, rseqk, rpfac_next, rnxt, rev_gather) where rev_gather[b,u]
+    = clip(D_b-1-u, 0) maps reversed step u to forward step j (also used to
+    un-reverse output tensors, padding rows land on row 0 harmlessly).
+    """
+    B, Dmax = plan.idx.shape
+    u = np.arange(Dmax)[None, :]
+    j = plan.D[:, None] - 1 - u
+    jc = np.clip(j, 0, Dmax - 1)
+    bidx = np.arange(B)[:, None]
+    ridx = plan.idx[bidx, jc]
+    rseqk = plan.seqk[bidx, jc]
+    jp1 = np.clip(j + 1, 0, Dmax - 1)
+    # The reference's backward loop reads BOTH its transition factor and its
+    # logscale increment from interval j+1 before decrementing the iterator
+    # (fast_painting.cpp:960-963,1063-1070): replicate the pairing exactly —
+    # using nxt[j] here would break the scaled-beta/logscale invariant.
+    rnxt = plan.nxt[bidx, jp1]
+    rpfac_next = plan.pfac[bidx, jp1]
+    return ridx, rseqk, rpfac_next, rnxt, jc
+
+
+class PaintOutput(NamedTuple):
+    """Posterior for a set of targets over one window.
+
+    ``topology[j, b, :]`` is alpha*beta at target b's j-th step (rows past
+    D[b] are padding). The total logscale of row (j, b) is
+    ``logscale[j, b] + ls_base[b]``: the in-window part is float32 (small
+    magnitude), the cross-window base float64 (host-chained). Distance
+    assembly only ever needs in-row logscale *differences*, so the base
+    cancels there.
+    """
+    topology: np.ndarray   # (Dmax, B, N) — device or host array
+    logscale: np.ndarray   # (Dmax, B) float32, relative to ls_base
+    ls_base: np.ndarray    # (B,) float64
+    plan: TargetPlan
+
+
+class Checkpoint(NamedTuple):
+    """Stepping-stone boundary state for one window, all targets
+    (the analog of one ``paint/relate_<w>.bin`` record set)."""
+    alpha: np.ndarray        # (B, N)
+    ls_alpha: np.ndarray     # (B,)
+    bsb: np.ndarray          # (B,) boundary SNP at which alpha is stored
+    beta: np.ndarray         # (B, N)
+    ls_beta: np.ndarray      # (B,)
+    bse: np.ndarray          # (B,) boundary SNP at which beta is stored
+
+
+class Painter:
+    """Painting driver for one chunk: holds the genotype panel on device,
+    computes stepping-stone checkpoints per window and full posteriors."""
+
+    def __init__(self, G: np.ndarray, r: np.ndarray, model: PaintingModel):
+        self.G_host = np.asarray(G, dtype=np.uint8)
+        self.G = jnp.asarray(self.G_host)
+        self.r = np.asarray(r, dtype=np.float64)
+        self.model = model
+        self._fwd, self._bwd = make_painting_kernels(model)
+        self.L, self.N = G.shape
+
+    # -- boundaries ------------------------------------------------------
+    def window_boundary_sites(self, boundaries: np.ndarray
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-(window, target) stepping-stone boundary SNPs.
+
+        alpha checkpoint of window w = last derived step < boundaries[w+1]
+        of the previous stretch; beta checkpoint = first derived step >=
+        boundaries[w+1] (fast_painting.cpp:56-107). Window 0 starts at 0; the
+        last window ends at L-1.
+        """
+        G = self.G_host
+        L, N = G.shape
+        W = len(boundaries) - 1
+        bsb = np.zeros((W, N), dtype=np.int64)
+        bse = np.zeros((W, N), dtype=np.int64)
+        for k in range(N):
+            dsites = np.unique(np.concatenate(
+                [[0], np.nonzero(G[:, k])[0], [L - 1]]))
+            for w in range(W):
+                wend = boundaries[w + 1]
+                i = np.searchsorted(dsites, wend, side="left") - 1
+                bsb[w, k] = dsites[max(i, 0)]
+                jpos = np.searchsorted(dsites, wend, side="left")
+                bse[w, k] = dsites[min(jpos, len(dsites) - 1)]
+        # alpha checkpoint for window w is captured at boundaries[w]: the
+        # last derived step < boundaries[w] (i.e. the bsb of window w-1).
+        out_bsb = np.zeros((W, N), dtype=np.int64)
+        out_bsb[1:, :] = bsb[:-1, :]
+        bse[W - 1, :] = L - 1
+        return out_bsb, bse
+
+    # -- internals -------------------------------------------------------
+    @staticmethod
+    def _plan_dev(plan: TargetPlan):
+        return (jnp.asarray(plan.idx), jnp.asarray(plan.seqk),
+                jnp.asarray(plan.pfac), jnp.asarray(plan.nxt),
+                jnp.asarray(plan.D), jnp.asarray(plan.kmask))
+
+    @staticmethod
+    def _row_of_site(plan: TargetPlan, sites: np.ndarray) -> np.ndarray:
+        """Row index of an absolute site in each target's step list."""
+        B = plan.idx.shape[0]
+        rows = np.empty(B, dtype=np.int64)
+        for b in range(B):
+            pos = int(np.searchsorted(plan.idx[b, : plan.D[b]], sites[b]))
+            assert plan.idx[b, pos] == sites[b], (b, int(sites[b]))
+            rows[b] = pos
+        return rows
+
+    def _run_fwd(self, plan: TargetPlan, alpha0):
+        return self._fwd(self.G, *self._plan_dev(plan), jnp.asarray(alpha0))
+
+    def _run_bwd(self, plan: TargetPlan, a_all, lsf, beta_end):
+        ridx, rseqk, rpfac_next, rnxt, rev_gather = _reverse_plan(plan)
+        rg = jnp.asarray(rev_gather.T)                       # (Dmax, B)
+        arev = jnp.take_along_axis(a_all, rg[:, :, None], axis=0)
+        lsf_rev = jnp.take_along_axis(lsf, rg, axis=0)
+        topo_rev, lstot_rev, beta_rev, lsb_rev = self._bwd(
+            self.G, jnp.asarray(ridx), jnp.asarray(rseqk),
+            jnp.asarray(rpfac_next), jnp.asarray(rnxt),
+            jnp.asarray(plan.D), jnp.asarray(plan.kmask),
+            arev, lsf_rev, jnp.asarray(beta_end))
+        topo = jnp.take_along_axis(topo_rev, rg[:, :, None], axis=0)
+        lstot = jnp.take_along_axis(lstot_rev, rg, axis=0)
+        beta = jnp.take_along_axis(beta_rev, rg[:, :, None], axis=0)
+        lsb = jnp.take_along_axis(lsb_rev, rg, axis=0)
+        return topo, lstot, beta, lsb
+
+    # -- stepping stones -------------------------------------------------
+    def paint_stepping_stones(self, boundaries: np.ndarray):
+        """Per-window checkpoints via chained window sweeps.
+
+        Forward: window w's forward scan starts from checkpoint w and the
+        alpha row at window w+1's begin-boundary (inside window w's range) is
+        the next checkpoint. Backward symmetric. Same total cost as the
+        reference's full passes, single-window memory.
+        """
+        boundaries = np.asarray(boundaries)
+        W = len(boundaries) - 1
+        N = self.N
+        targets = np.arange(N, dtype=np.int32)
+        bsb, bse = self.window_boundary_sites(boundaries)
+
+        alphas0: list = [None] * W
+        lsa0: list = [None] * W
+        betasW: list = [None] * W
+        lsbW: list = [None] * W
+
+        alpha = initial_alpha(self.G_host, self.model, 0, targets)
+        lsa = np.zeros(N, dtype=np.float64)
+        for w in range(W):
+            alphas0[w] = alpha
+            lsa0[w] = lsa
+            if w == W - 1:
+                break
+            plan = build_target_plan(self.G_host, self.r, self.model,
+                                     bsb[w], bse[w], targets)
+            a_all, ls_all = self._run_fwd(plan, alpha)
+            rows = self._row_of_site(plan, bsb[w + 1])
+            a_np, ls_np = np.asarray(a_all), np.asarray(ls_all)
+            sel = np.arange(N)
+            alpha = a_np[rows, sel]
+            lsa = lsa + ls_np[rows, sel].astype(np.float64)
+
+        Dtot = self.G_host[1:-1].sum(axis=0).astype(np.int64) + 2
+        beta = np.ones((N, N), dtype=np.float32)
+        lsb = normalizing_constant(self.model, Dtot).astype(np.float64)
+        for w in range(W - 1, -1, -1):
+            betasW[w] = beta
+            lsbW[w] = lsb
+            if w == 0:
+                break
+            # extend the final interval to the next derived site beyond the
+            # window so the chained checkpoints reproduce the reference's
+            # single full-pass interval structure exactly
+            final_raw = self._extended_final_raw(bse[w])
+            plan = build_target_plan(self.G_host, self.r, self.model,
+                                     bsb[w], bse[w], targets,
+                                     final_raw=final_raw)
+            a_all, lsf = self._run_fwd(plan, alphas0[w])
+            _, _, beta_all, lsb_all = self._run_bwd(plan, a_all, lsf, beta)
+            rows = self._row_of_site(plan, bse[w - 1])
+            b_np, lsb_np = np.asarray(beta_all), np.asarray(lsb_all)
+            sel = np.arange(N)
+            beta = b_np[rows, sel]
+            lsb = lsb + lsb_np[rows, sel].astype(np.float64)
+
+        return [Checkpoint(alpha=alphas0[w], ls_alpha=lsa0[w], bsb=bsb[w],
+                           beta=betasW[w], ls_beta=lsbW[w], bse=bse[w])
+                for w in range(W)]
+
+    def _extended_final_raw(self, bse_row: np.ndarray) -> np.ndarray:
+        """Full-pass interval at each target's window-end step: accumulated r
+        from bse to the next derived step of that target beyond it."""
+        G, r = self.G_host, self.r
+        L, N = G.shape
+        S = np.zeros(L + 1, dtype=np.float64)
+        np.cumsum(r, out=S[1:])
+        out = np.empty(N, dtype=np.float64)
+        for k in range(N):
+            b = int(bse_row[k])
+            if b >= L - 1:
+                out[k] = r[L - 1]
+                continue
+            nxt = np.nonzero(G[b + 1:, k])[0]
+            nd = b + 1 + nxt[0] if len(nxt) else L - 1
+            out[k] = S[nd] - S[b]
+        return out
+
+    # -- full posterior --------------------------------------------------
+    def repaint(self, cp: Checkpoint,
+                targets: Optional[np.ndarray] = None) -> PaintOutput:
+        """Full posterior over a window from its checkpoint
+        (RePaintSection equivalent)."""
+        if targets is None:
+            targets = np.arange(self.N, dtype=np.int32)
+        plan = build_target_plan(self.G_host, self.r, self.model,
+                                 cp.bsb[targets] if np.ndim(cp.bsb) else cp.bsb,
+                                 cp.bse[targets] if np.ndim(cp.bse) else cp.bse,
+                                 targets)
+        a_all, lsf = self._run_fwd(plan, cp.alpha[targets])
+        topo, lstot, _, _ = self._run_bwd(plan, a_all, lsf, cp.beta[targets])
+        base = (np.asarray(cp.ls_alpha, np.float64)[targets]
+                + np.asarray(cp.ls_beta, np.float64)[targets])
+        return PaintOutput(topology=topo, logscale=lstot, ls_base=base,
+                           plan=plan)
+
+    def repaint_from_arrays(self, first_arr, last_arr, alpha0, ls_alpha,
+                            beta_end, ls_beta,
+                            targets: Optional[np.ndarray] = None
+                            ) -> PaintOutput:
+        """RePaintSection with explicit boundary state (used by tests)."""
+        if targets is None:
+            targets = np.arange(self.N, dtype=np.int32)
+        plan = build_target_plan(self.G_host, self.r, self.model,
+                                 first_arr, last_arr, targets)
+        a_all, lsf = self._run_fwd(plan, alpha0)
+        topo, lstot, _, _ = self._run_bwd(plan, a_all, lsf, beta_end)
+        base = (np.asarray(ls_alpha, np.float64)
+                + np.asarray(ls_beta, np.float64))
+        return PaintOutput(topology=topo, logscale=lstot, ls_base=base,
+                           plan=plan)

@@ -1,0 +1,244 @@
+"""Readers/writers for Relate's .anc/.mut tree-sequence formats.
+
+Formats (behavioral reference):
+- binary .anc (anc.cpp:1104-1167): header ``bool has_sample_ages, u32 N,
+  [f64 ages], u32 num_trees``; per tree ``i32 pos`` then per node
+  ``i32 parent, f64 branch_length, f32 num_events, i32 SNP_begin,
+  i32 SNP_end``.
+- text .anc (Finalize.cpp:199-210, anc.cpp:779-815): header lines
+  ``NUM_HAPLOTYPES N [ages...]`` / ``NUM_TREES T``, then per tree
+  ``pos: parent:(bl num_events SNP_begin SNP_end) ...``.
+- short .mut (mutations.cpp:511-545): header
+  ``tree_index;branch_index;is_mapping;is_flipped;age_of_mutation`` then
+  ``tree;b1[ b2...];is_not_mapping;flipped;age_begin;age_end;``.
+- final .mut (Finalize.cpp:98,165-172): ``snp;pos;dist;rsid;tree;branches;
+  is_not_mapping;flipped;age_begin;age_end;anc/alt;``.
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, TextIO, Tuple
+
+import numpy as np
+
+from ..core.topology import MutationRecord
+from ..core.trees import AncesTree, MarginalTree, Tree, children_from_parent
+from .haps import smart_open
+
+
+# ---------------------------------------------------------------------------
+# binary .anc
+# ---------------------------------------------------------------------------
+
+def write_anc_bin(path: str, anc: AncesTree):
+    with open(path, "wb") as f:
+        has_ages = anc.sample_ages is not None and len(anc.sample_ages) > 0
+        f.write(struct.pack("?", has_ages))
+        f.write(struct.pack("I", anc.N))
+        if has_ages:
+            f.write(np.asarray(anc.sample_ages, np.float64).tobytes())
+        f.write(struct.pack("I", len(anc.seq)))
+        for mt in anc.seq:
+            f.write(struct.pack("i", int(mt.pos)))
+            t = mt.tree
+            for n in range(t.num_nodes):
+                f.write(struct.pack("idfii", int(t.parent[n]),
+                                    float(t.branch_length[n]),
+                                    float(t.num_events[n]),
+                                    int(t.SNP_begin[n]),
+                                    int(t.SNP_end[n])))
+
+
+def read_anc_bin(path: str) -> AncesTree:
+    with open(path, "rb") as f:
+        (has_ages,) = struct.unpack("?", f.read(1))
+        (N,) = struct.unpack("I", f.read(4))
+        ages = None
+        if has_ages:
+            ages = np.frombuffer(f.read(8 * N), dtype=np.float64).copy()
+        (num_trees,) = struct.unpack("I", f.read(4))
+        M = 2 * N - 1
+        rec = np.dtype([("parent", "i4"), ("bl", "f8"), ("ne", "f4"),
+                        ("sb", "i4"), ("se", "i4")])
+        seq = []
+        for _ in range(num_trees):
+            (pos,) = struct.unpack("i", f.read(4))
+            arr = np.frombuffer(f.read(rec.itemsize * M), dtype=rec)
+            parent = arr["parent"].astype(np.int32)
+            cl, cr = children_from_parent(parent)
+            t = Tree(parent=parent, child_left=cl, child_right=cr,
+                     branch_length=arr["bl"].astype(np.float64),
+                     num_events=arr["ne"].astype(np.float32),
+                     SNP_begin=arr["sb"].astype(np.int32),
+                     SNP_end=arr["se"].astype(np.int32))
+            seq.append(MarginalTree(pos=pos, tree=t))
+    return AncesTree(N=N, seq=seq, sample_ages=ages)
+
+
+# ---------------------------------------------------------------------------
+# text .anc
+# ---------------------------------------------------------------------------
+
+def _fmt_g5(x: float) -> str:
+    """%.5f-style like the reference's Dump (anc.cpp:810)."""
+    return f"{x:.5f}"
+
+
+def write_anc_text(path: str, anc: AncesTree, num_trees: Optional[int] = None):
+    with open(path, "w") as f:
+        if anc.sample_ages is None or len(anc.sample_ages) == 0:
+            f.write(f"NUM_HAPLOTYPES {anc.N}\n")
+        else:
+            f.write(f"NUM_HAPLOTYPES {anc.N} ")
+            f.write(" ".join(f"{a:f}" for a in anc.sample_ages))
+            f.write(" \n")
+        f.write(f"NUM_TREES {num_trees if num_trees is not None else len(anc.seq)}\n")
+        for mt in anc.seq:
+            write_anc_tree_line(f, mt)
+
+
+def write_anc_tree_line(f: TextIO, mt: MarginalTree):
+    t = mt.tree
+    parts = [f"{mt.pos}:"]
+    for n in range(t.num_nodes):
+        parts.append(
+            f"{int(t.parent[n])}:({t.branch_length[n]:.5f} "
+            f"{t.num_events[n]:.3f} {int(t.SNP_begin[n])} "
+            f"{int(t.SNP_end[n])})")
+    f.write(" ".join(parts) + " \n")
+
+
+def read_anc_text(path: str) -> AncesTree:
+    with smart_open(path) as f:
+        header = f.readline().split()
+        N = int(header[1])
+        ages = None
+        if len(header) > 2:
+            ages = np.asarray([float(x) for x in header[2:]])
+        num_trees = int(f.readline().split()[1])
+        seq = []
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            pos_s, rest = line.split(":", 1)
+            pos = int(pos_s)
+            M = 2 * N - 1
+            parent = np.empty(M, np.int32)
+            bl = np.empty(M, np.float64)
+            ne = np.empty(M, np.float32)
+            sb = np.empty(M, np.int32)
+            se = np.empty(M, np.int32)
+            toks = rest.replace("(", " ").replace(")", " ").replace(":", " ").split()
+            assert len(toks) == 5 * M, (len(toks), M)
+            for n in range(M):
+                parent[n] = int(toks[5 * n])
+                bl[n] = float(toks[5 * n + 1])
+                ne[n] = float(toks[5 * n + 2])
+                sb[n] = int(toks[5 * n + 3])
+                se[n] = int(toks[5 * n + 4])
+            cl, cr = children_from_parent(parent)
+            seq.append(MarginalTree(pos=pos, tree=Tree(
+                parent=parent, child_left=cl, child_right=cr,
+                branch_length=bl, num_events=ne, SNP_begin=sb, SNP_end=se)))
+        assert len(seq) == num_trees, (len(seq), num_trees)
+    return AncesTree(N=N, seq=seq, sample_ages=ages)
+
+
+# ---------------------------------------------------------------------------
+# .mut (short format)
+# ---------------------------------------------------------------------------
+
+def write_mut_short(path: str, muts: List[MutationRecord]):
+    with open(path, "w") as f:
+        f.write("tree_index;branch_index;is_mapping;is_flipped;"
+                "age_of_mutation\n")
+        for m in muts:
+            br = " ".join(str(b) for b in m.branch)
+            nm = 1 if len(m.branch) > 1 else 0
+            f.write(f"{m.tree};{br};{nm};{int(m.flipped)};"
+                    f"{_fmt_g(m.age_begin)};{_fmt_g(m.age_end)};\n")
+
+
+def _fmt_g(x: float) -> str:
+    """C++ default ostream float formatting (6 significant digits)."""
+    s = f"{x:g}"
+    return s
+
+
+def read_mut_short(path: str) -> List[MutationRecord]:
+    out: List[MutationRecord] = []
+    with smart_open(path) as f:
+        next(f)
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(";")
+            branch = [int(x) for x in parts[1].split()] if parts[1] else []
+            out.append(MutationRecord(
+                tree=int(parts[0]), branch=branch,
+                flipped=bool(int(parts[3])),
+                age_begin=float(parts[4]), age_end=float(parts[5])))
+    return out
+
+
+def get_age(anc: AncesTree, muts: List[MutationRecord]):
+    """Fill age_begin/age_end from the tree (mutations.cpp:27-60): walk the
+    mapped branch down its left-child chain to a leaf summing branch
+    lengths; age_end adds the branch's own length."""
+    tree_idx = -1
+    coords_cache = {}
+    for m in muts:
+        if len(m.branch) != 1:
+            continue
+        t = anc.seq[m.tree].tree
+        b = m.branch[0]
+        age = 0.0
+        n = b
+        bl_top = float(t.branch_length[b])
+        while t.child_left[n] >= 0:
+            n = int(t.child_left[n])
+            age += float(t.branch_length[n])
+        m.age_begin = age
+        m.age_end = age + bl_top
+        if anc.sample_ages is not None and len(anc.sample_ages):
+            m.age_begin += float(anc.sample_ages[n])
+            m.age_end += float(anc.sample_ages[n])
+
+
+# ---------------------------------------------------------------------------
+# final .mut
+# ---------------------------------------------------------------------------
+
+FINAL_MUT_HEADER = ("snp;pos_of_snp;dist;rs-id;tree_index;branch_indices;"
+                    "is_not_mapping;is_flipped;age_begin;age_end;"
+                    "ancestral_allele/alternative_allele;")
+
+
+def write_mut_final(path: str, rows: List[str]):
+    with open(path, "w") as f:
+        f.write(FINAL_MUT_HEADER + "\n")
+        for r in rows:
+            f.write(r + "\n")
+
+
+def read_mut_final(path: str):
+    """Parse a final .mut into a list of dicts."""
+    out = []
+    with smart_open(path) as f:
+        next(f)
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            p = line.split(";")
+            out.append({
+                "snp": int(p[0]), "pos": int(p[1]), "dist": int(p[2]),
+                "rsid": p[3], "tree": int(p[4]),
+                "branch": [int(x) for x in p[5].split()] if p[5] else [],
+                "is_not_mapping": int(p[6]), "flipped": int(p[7]),
+                "age_begin": float(p[8]), "age_end": float(p[9]),
+                "alleles": p[10] if len(p) > 10 else "",
+            })
+    return out

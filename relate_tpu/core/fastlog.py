@@ -9,8 +9,9 @@ transcendental log: it is two bitcasts and a fused polynomial on the VPU.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-LN2 = jnp.float32(0.69314718)
+LN2 = np.float32(0.69314718)
 
 
 def fast_log2(val):

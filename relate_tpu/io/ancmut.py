@@ -42,7 +42,8 @@ def write_anc_bin(path: str, anc: AncesTree):
             f.write(struct.pack("i", int(mt.pos)))
             t = mt.tree
             for n in range(t.num_nodes):
-                f.write(struct.pack("idfii", int(t.parent[n]),
+                # '<' disables native alignment padding (C++ writes packed)
+                f.write(struct.pack("<idfii", int(t.parent[n]),
                                     float(t.branch_length[n]),
                                     float(t.num_events[n]),
                                     int(t.SNP_begin[n]),

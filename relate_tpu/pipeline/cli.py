@@ -1,0 +1,111 @@
+"""Command-line interface mirroring the reference ``Relate`` binary modes
+(include/pipeline/Relate.cpp:60-314).
+
+Usage:
+  python -m relate_tpu.pipeline.cli --mode All --haps x.haps.gz \
+      --sample x.sample.gz --map map.txt -N 30000 -m 1.25e-8 -o out --seed 1
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import relate
+from ..io.chunking import ArtifactStore
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="relate_tpu")
+    p.add_argument("--mode", required=True,
+                   choices=["All", "MakeChunks", "Paint", "BuildTopology",
+                            "FindEquivalentBranches", "InferBranchLengths",
+                            "CombineSections", "Finalize", "Clean"])
+    p.add_argument("--haps")
+    p.add_argument("--sample")
+    p.add_argument("--map", dest="map_path")
+    p.add_argument("--dist")
+    p.add_argument("-N", "--effectiveN", type=float, default=3e4)
+    p.add_argument("-m", "--mutation_rate", type=float, default=1.25e-8)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--memory", type=float, default=5.0)
+    p.add_argument("--theta", type=float, default=0.001)
+    p.add_argument("--coal")
+    p.add_argument("--annot")
+    p.add_argument("--sample_ages")
+    p.add_argument("--chunk_index", type=int, default=0)
+    p.add_argument("--first_section", type=int, default=0)
+    p.add_argument("--last_section", type=int, default=None)
+    p.add_argument("--no_consistency", action="store_true")
+    p.add_argument("--anc_allele_unknown", action="store_true")
+    p.add_argument("--transversion", action="store_true")
+    p.add_argument("--fb", type=int, default=0)
+    return p
+
+
+def read_coal_file(path: str):
+    """Parse a .coal file: line 1 group names, line 2 epoch boundaries
+    (generations), then 'g1 g2 rate...' rows
+    (FinalizePopulationSize.cpp:96-110)."""
+    with open(path) as f:
+        f.readline()
+        epochs = np.asarray([float(x) for x in f.readline().split()])
+        line = f.readline().split()
+        rates = np.asarray([float(x) for x in line[2:]])
+    return epochs, rates
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    out = args.output
+    mode = args.mode
+    coal = read_coal_file(args.coal) if args.coal else None
+
+    if mode == "All":
+        relate.run_all(args.haps, args.sample, args.map_path, out,
+                       Ne=args.effectiveN, mu=args.mutation_rate,
+                       seed=args.seed, memory_gb=args.memory,
+                       theta=args.theta, dist_path=args.dist,
+                       use_transitions=not args.transversion,
+                       sample_ages_path=args.sample_ages, coal=coal)
+        return 0
+
+    store = ArtifactStore(out if mode != "Finalize" else out + ".tmpdir")
+    if mode == "MakeChunks":
+        relate.make_chunks(args.haps, args.sample, args.map_path, out,
+                           args.memory, args.dist, not args.transversion,
+                           args.sample_ages)
+    elif mode == "Paint":
+        relate.paint(store, args.chunk_index, args.theta)
+    elif mode == "BuildTopology":
+        relate.build_topology(store, args.chunk_index, seed=args.seed,
+                              theta=args.theta,
+                              mode=0 if args.no_consistency else 1,
+                              ancestral_state=not args.anc_allele_unknown,
+                              fb=args.fb,
+                              first_section=args.first_section,
+                              last_section=args.last_section)
+    elif mode == "FindEquivalentBranches":
+        relate.find_equivalent_branches(store, args.chunk_index)
+    elif mode == "InferBranchLengths":
+        epochs, rates = coal if coal else (None, None)
+        relate.infer_branch_lengths(store, args.chunk_index,
+                                    Ne=args.effectiveN,
+                                    mu=args.mutation_rate, seed=args.seed,
+                                    epochs=epochs, rates=rates,
+                                    first_section=args.first_section,
+                                    last_section=args.last_section)
+    elif mode == "CombineSections":
+        relate.combine_sections(store, args.chunk_index)
+    elif mode == "Finalize":
+        relate.finalize(store, out)
+    elif mode == "Clean":
+        import shutil
+        shutil.rmtree(out + ".tmpdir", ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,298 @@
+"""The Relate pipeline: MakeChunks -> Paint -> BuildTopology ->
+FindEquivalentBranches -> InferBranchLengths -> CombineSections -> Finalize.
+
+Behavioral reference: ``include/pipeline/Relate.cpp`` (mode dispatch :60-314,
+All at :257-287) and the per-mode sources. Stages communicate through the
+ArtifactStore (filesystem), mirroring the reference's restartable staged-file
+design; each stage is independently callable (resume = rerun a stage).
+
+TPU mapping: Paint and BuildTopology run their device work batched per
+window; InferBranchLengths runs one vmapped MCMC chain batch per section;
+chunks are the data-parallel (multi-host) axis.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from typing import List, Optional
+
+import numpy as np
+
+from ..core import mcmc, painting, topology
+from ..core.branch_association import associate_trees, branch_association
+from ..core.trees import AncesTree, MarginalTree
+from ..io import ancmut, chunking
+from ..io import haps as hio
+from ..io.chunking import ArtifactStore, MERGE_DISCARD
+
+
+def make_chunks(haps_path: str, sample_path: str, map_path: str, outdir: str,
+                memory_gb: float = 5.0, dist_path: Optional[str] = None,
+                use_transitions: bool = True,
+                sample_ages_path: Optional[str] = None) -> chunking.ChunkPlan:
+    data = hio.read_haps(haps_path, sample_path)
+    gmap = hio.read_map(map_path)
+    dist = hio.read_dist_file(dist_path, data.bp) if dist_path else None
+    store = ArtifactStore(outdir)
+    ages = None
+    if sample_ages_path:
+        ages = hio.read_sample_ages(sample_ages_path, data.N)
+    return store.make_chunks(data, gmap, memory_gb, dist, use_transitions,
+                             ages)
+
+
+def _painter_for(store: ArtifactStore, c: int, theta: float):
+    ch = store.load_chunk(c)
+    model = painting.PaintingModel(N=ch.N, theta=theta)
+    return ch, painting.Painter(ch.G, ch.r, model)
+
+
+def paint(store: ArtifactStore, c: int, theta: float = 0.001,
+          rho_scale: float = 1.0):
+    """Compute and persist stepping-stone checkpoints for all windows of a
+    chunk (pipeline/Paint.cpp equivalent; npz instead of RLE .bin)."""
+    ch = store.load_chunk(c)
+    r = ch.r * rho_scale
+    model = painting.PaintingModel(N=ch.N, theta=theta)
+    painter = painting.Painter(ch.G, r, model)
+    cps = painter.paint_stepping_stones(np.asarray(ch.windows.boundaries))
+    os.makedirs(store.path(f"chunk_{c}"), exist_ok=True)
+    for w, cp in enumerate(cps):
+        np.savez_compressed(store.path(f"chunk_{c}", f"paint_{w}.npz"),
+                            alpha=cp.alpha, ls_alpha=cp.ls_alpha, bsb=cp.bsb,
+                            beta=cp.beta, ls_beta=cp.ls_beta, bse=cp.bse)
+
+
+def load_checkpoint(store: ArtifactStore, c: int, w: int):
+    z = np.load(store.path(f"chunk_{c}", f"paint_{w}.npz"))
+    return painting.Checkpoint(alpha=z["alpha"], ls_alpha=z["ls_alpha"],
+                               bsb=z["bsb"], beta=z["beta"],
+                               ls_beta=z["ls_beta"], bse=z["bse"])
+
+
+def build_topology(store: ArtifactStore, c: int, seed: int = 1,
+                   theta: float = 0.001, rho_scale: float = 1.0,
+                   mode: int = 1, ancestral_state: bool = True, fb: int = 0,
+                   first_section: int = 0,
+                   last_section: Optional[int] = None):
+    """Build per-section tree sequences (pipeline/BuildTopology.cpp)."""
+    ch = store.load_chunk(c)
+    model = painting.PaintingModel(N=ch.N, theta=theta)
+    painter = painting.Painter(ch.G, ch.r * rho_scale, model)
+    bounds = ch.windows.boundaries
+    W = len(bounds) - 1
+    if last_section is None:
+        last_section = W - 1
+    last_section = min(W - 1, last_section)
+    ages = store.load_sample_ages(ch.N)
+    rng = np.random.default_rng(seed + 1000003 * c)
+    sec_seeds = rng.integers(1 << 31, size=W)
+    for w in range(first_section, last_section + 1):
+        start = bounds[w]
+        end = (bounds[w + 1] - 1) if w < W - 1 else ch.L - 1
+        end = min(end, ch.L - 1)
+        cp = load_checkpoint(store, c, w)
+        res = topology.build_topology_section(
+            painter, cp, ch.G, ch.rpos, ch.state, ch.bp,
+            start, end, seed=int(sec_seeds[w]), mode=mode,
+            ancestral_state=ancestral_state, fb=fb, sample_ages=ages)
+        res.anc.sample_ages = ages
+        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),
+                             res.anc)
+        ancmut.get_age(res.anc, res.muts)
+        ancmut.write_mut_short(store.path(f"chunk_{c}", f"muts_{w}.mut"),
+                               res.muts)
+
+
+def find_equivalent_branches(store: ArtifactStore, c: int):
+    """Associate branches across all adjacent trees of a chunk (incl. window
+    boundaries) and propagate events/spans
+    (pipeline/FindEquivalentBranches.cpp)."""
+    ch = store.load_chunk(c)
+    W = ch.windows.num_windows
+    ancs = [ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
+            for w in range(W)]
+    all_trees = [mt.tree for anc in ancs for mt in anc.seq]
+    eqs = [branch_association(all_trees[i], all_trees[i + 1])
+           for i in range(len(all_trees) - 1)]
+    associate_trees(all_trees, eqs)
+    for w in range(W):
+        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),
+                             ancs[w])
+
+
+def infer_branch_lengths(store: ArtifactStore, c: int, Ne: float = 3e4,
+                         mu: float = 1.25e-8, seed: int = 1,
+                         epochs: Optional[np.ndarray] = None,
+                         rates: Optional[np.ndarray] = None,
+                         first_section: int = 0,
+                         last_section: Optional[int] = None):
+    """Branch-length MCMC per section (pipeline/InferBranchLengths.cpp);
+    the per-section tree batch is one vmapped chain batch.
+
+    With a coalescence-rate prior, epochs (generations) and rates
+    (per-generation) are normalized by the implied average Ne = 1/mean(rate)
+    into coalescent units (InferBranchLengths.cpp:86-152)."""
+    ch = store.load_chunk(c)
+    W = ch.windows.num_windows
+    if last_section is None:
+        last_section = W - 1
+    if epochs is not None:
+        rts = np.asarray(rates, dtype=np.float64)
+        pos = rts[np.isfinite(rts) & (rts > 0)]
+        avg_ne = 1.0 / pos.mean()
+        Ne = avg_ne
+        rates = rts * avg_ne
+        epochs = np.asarray(epochs, dtype=np.float64) / avg_ne
+    for w in range(first_section, last_section + 1):
+        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
+        trees = [mt.tree for mt in anc.seq]
+        bl = mcmc.run_mcmc(trees, ch.dist.astype(np.float64), ch.L,
+                           Ne=Ne, mu=mu,
+                           seed=seed + 7919 * (c + 1) + w,
+                           epochs=epochs, rates=rates)
+        for i, mt in enumerate(anc.seq):
+            mt.tree.branch_length = bl[i]
+        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"), anc)
+
+
+def combine_sections(store: ArtifactStore, c: int):
+    """Splice per-section tree sequences + fill mutation ages
+    (pipeline/CombineSections.cpp)."""
+    ch = store.load_chunk(c)
+    W = ch.windows.num_windows
+    seq: List[MarginalTree] = []
+    muts = []
+    ages = None
+    for w in range(W):
+        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
+        ages = anc.sample_ages
+        mshort = ancmut.read_mut_short(store.path(f"chunk_{c}",
+                                                  f"muts_{w}.mut"))
+        off = len(seq)
+        for m in mshort:
+            m.tree += off
+        seq.extend(anc.seq)
+        muts.extend(mshort)
+    anc = AncesTree(N=ch.N, seq=seq, sample_ages=ages)
+    ancmut.get_age(anc, muts)
+    ancmut.write_anc_bin(store.path(f"chunk_{c}", "combined.anc"), anc)
+    ancmut.write_mut_short(store.path(f"chunk_{c}", "combined.mut"), muts)
+
+
+def finalize(store: ArtifactStore, output: str, cleanup: bool = False):
+    """Merge chunks dropping half-overlaps, write final text .anc/.mut
+    (pipeline/Finalize.cpp:107-290)."""
+    plan, _ = store.load_plan()
+    props = np.load(store.path("props.npz"), allow_pickle=False)
+    rsid = props["rsid"]
+    anc_al = props["ancestral"]
+    alt_al = props["alternative"]
+    bp = props["bp"]
+    dist = props["dist"]
+
+    mut_rows: List[str] = []
+    out_trees: List[MarginalTree] = []
+    num_trees_cum = 0
+    num_flips = 0
+    num_non_mapping = 0
+    sample_ages = None
+
+    for c in range(plan.num_chunks):
+        start_chunk = plan.start[c]
+        end_chunk = plan.end[c]
+        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", "combined.anc"))
+        muts = ancmut.read_mut_short(store.path(f"chunk_{c}", "combined.mut"))
+        sample_ages = anc.sample_ages
+        ov = MERGE_DISCARD if c > 0 else 0
+        if plan.num_chunks > 1 and c + 1 != plan.num_chunks:
+            keep_end = end_chunk - MERGE_DISCARD
+        else:
+            keep_end = end_chunk
+
+        # ---- mutations -----------------------------------------------
+        first_tree = None
+        for local in range(ov, keep_end - start_chunk):
+            snp = start_chunk + local
+            m = muts[local]
+            if first_tree is None:
+                first_tree = m.tree
+            if m.is_not_mapping:
+                num_non_mapping += 1
+            if m.flipped:
+                num_flips += 1
+            tree_out = m.tree - first_tree + num_trees_cum
+            br = " ".join(str(b) for b in m.branch)
+            mut_rows.append(
+                f"{snp};{bp[snp]};{dist[snp]};{rsid[snp]};{tree_out};{br};"
+                f"{1 if m.is_not_mapping else 0};{int(m.flipped)};"
+                f"{ancmut._fmt_g(m.age_begin)};{ancmut._fmt_g(m.age_end)};"
+                f"{anc_al[snp]}/{alt_al[snp]};")
+
+        # ---- trees ---------------------------------------------------
+        seq = list(anc.seq)
+        if c > 0:
+            # drop leading trees fully inside the discarded overlap
+            while len(seq) > 1 and seq[1].pos <= MERGE_DISCARD:
+                seq.pop(0)
+            seq[0] = MarginalTree(pos=MERGE_DISCARD + start_chunk,
+                                  tree=seq[0].tree)
+        else:
+            seq[0] = MarginalTree(pos=start_chunk + seq[0].pos,
+                                  tree=seq[0].tree)
+        kept = [seq[0]]
+        for mt in seq[1:]:
+            pos = mt.pos + start_chunk
+            if pos < keep_end:
+                kept.append(MarginalTree(pos=pos, tree=mt.tree))
+        for mt in kept:
+            mt.tree.SNP_begin[:] = mt.tree.SNP_begin + start_chunk
+            mt.tree.SNP_end[:] = mt.tree.SNP_end + start_chunk
+        out_trees.extend(kept)
+        num_trees_cum += len(kept)
+
+    final = AncesTree(N=plan.N, seq=out_trees, sample_ages=sample_ages)
+    ancmut.write_anc_text(output + ".anc", final)
+    ancmut.write_mut_final(output + ".mut", mut_rows)
+    if cleanup:
+        shutil.rmtree(store.outdir, ignore_errors=True)
+    return num_non_mapping, num_flips
+
+
+def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
+            Ne: float = 3e4, mu: float = 1.25e-8, seed: int = 1,
+            memory_gb: float = 5.0, theta: float = 0.001,
+            dist_path: Optional[str] = None, use_transitions: bool = True,
+            sample_ages_path: Optional[str] = None,
+            coal: Optional[tuple] = None, cleanup: bool = True,
+            verbose: bool = True):
+    """Relate --mode All (pipeline/Relate.cpp:257-287)."""
+    store = ArtifactStore(output + ".tmpdir")
+    plan = make_chunks(haps_path, sample_path, map_path, store.outdir,
+                       memory_gb, dist_path, use_transitions,
+                       sample_ages_path)
+    if verbose:
+        print(f"[relate] N={plan.N} L={plan.L} chunks={plan.num_chunks}")
+    epochs = rates = None
+    if coal is not None:
+        epochs, rates = coal
+    for c in range(plan.num_chunks):
+        if verbose:
+            print(f"[relate] chunk {c}: paint")
+        paint(store, c, theta)
+        if verbose:
+            print(f"[relate] chunk {c}: build topology")
+        build_topology(store, c, seed=seed, theta=theta)
+        if verbose:
+            print(f"[relate] chunk {c}: associate branches")
+        find_equivalent_branches(store, c)
+        if verbose:
+            print(f"[relate] chunk {c}: infer branch lengths")
+        infer_branch_lengths(store, c, Ne=Ne, mu=mu, seed=seed,
+                             epochs=epochs, rates=rates)
+        combine_sections(store, c)
+    nnm, nfl = finalize(store, output, cleanup=cleanup)
+    if verbose:
+        print(f"[relate] Number of not mapping SNPs: {nnm}")
+        print(f"[relate] Number of flipped SNPs    : {nfl}")
+    return output

@@ -1,0 +1,236 @@
+"""Coalescence-rate estimation and the population-size EM.
+
+Behavioral reference: ``include/evaluate/coalescent_rate/`` —
+CoalescentRateForSection.cpp (pairwise per-epoch coalescence counts and
+opportunity, :17-120; epoch grids :300-380), FinalizePopulationSize.cpp
+(rate = sum counts / sum opportunity, whole-sample :13-110 / by group :138),
+SummarizeCoalescentRateForGenome.cpp (cross-chromosome sum) and the EM loop
+of scripts/EstimatePopulationSize/EstimatePopulationSize.sh
+(re-estimate branch lengths under .coal <-> re-estimate rates, default 10
+iterations).
+
+TPU-native reformulation: the reference accumulates N x N float matrices per
+epoch via a per-tree recursion and sums them through the filesystem. Here
+each internal node contributes its cross-clade pair block in *group space*:
+with clade-by-group counts ``C (M, G)`` (one matmul per tree batch), the
+per-epoch sufficient statistics are ``O(M G^2)`` per tree and reduce with a
+single ``psum`` across shards — no quadratic-in-N matrices for the standard
+whole-sample / by-group modes (the by-haplotype-pair mode keeps the
+quadratic path).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core import mcmc
+from ..core.topology import MutationRecord
+from ..core.trees import AncesTree, Tree, topological_order
+
+
+# ---------------------------------------------------------------------------
+# epoch grids (CoalescentRateForSection.cpp:300-380)
+# ---------------------------------------------------------------------------
+
+def default_epochs(years_per_gen: float = 28.0) -> np.ndarray:
+    num_epochs = 31
+    e = np.zeros(num_epochs)
+    e[1] = 1e3 / years_per_gen
+    for i in range(2, num_epochs - 1):
+        e[i] = 10 ** (3.0 + 4.0 * (i - 1.0) / (num_epochs - 3.0)) \
+            / years_per_gen
+    e[num_epochs - 1] = 1e8 / years_per_gen
+    return e
+
+
+def epochs_from_bins(lower: float, upper: float, step: float,
+                     years_per_gen: float = 28.0) -> np.ndarray:
+    """--bins lower,upper,step in log10 years."""
+    out = [0.0]
+    b = lower
+    while b < upper:
+        out.append(10 ** b / years_per_gen)
+        b += step
+    out.append(10 ** upper / years_per_gen)
+    out.append(max(1e8, 10.0 * out[-1] * years_per_gen) / years_per_gen)
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# per-tree spans (AncMutIterators::NextTree, mutations.cpp:853-908)
+# ---------------------------------------------------------------------------
+
+def tree_spans(anc: AncesTree, muts: List[MutationRecord],
+               dist: np.ndarray) -> np.ndarray:
+    """num_bases_tree_persists per tree: sum of its SNPs' dist, plus half of
+    the preceding SNP's dist, minus half of its last SNP's dist (interior
+    trees); 0 for trees without mutations."""
+    T = len(anc.seq)
+    L = len(muts)
+    spans = np.zeros(T)
+    tree_of_snp = np.asarray([m.tree for m in muts])
+    for t in range(T):
+        snps = np.nonzero(tree_of_snp == t)[0]
+        if len(snps) == 0:
+            continue
+        s = float(dist[snps].sum())
+        if snps[0] > 0:
+            s += dist[snps[0] - 1] / 2.0
+        if snps[-1] < L - 1:
+            s -= dist[snps[-1]] / 2.0
+        spans[t] = s
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# sufficient statistics
+# ---------------------------------------------------------------------------
+
+def _epoch_overlap(epochs: np.ndarray, t: float) -> np.ndarray:
+    """Per-epoch length of [0, t] intersected with each epoch."""
+    lo = epochs[:-1]
+    hi = np.append(epochs[1:-1], np.inf)
+    return np.clip(np.minimum(hi, t) - lo, 0.0, None)
+
+
+def coalescence_stats(trees: List[Tree], factors: np.ndarray,
+                      epochs: np.ndarray,
+                      group_of_hap: Optional[np.ndarray] = None,
+                      sample_ages: Optional[np.ndarray] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-epoch coalescence counts and opportunity by group pair.
+
+    Returns (counts (E, G, G), opp (E, G, G)), symmetric in the group axes,
+    where each unordered haplotype pair contributes once (to [a,b] and [b,a]
+    half each for a != b; diagonal gets the within-group pairs).
+    """
+    E = len(epochs) - 1
+    N = trees[0].N
+    if group_of_hap is None:
+        group_of_hap = np.zeros(N, dtype=np.int64)
+    G = int(group_of_hap.max()) + 1
+    onehot = np.zeros((N, G))
+    onehot[np.arange(N), group_of_hap] = 1.0
+
+    counts = np.zeros((E, G, G))
+    opp = np.zeros((E, G, G))
+    for tree, f in zip(trees, factors):
+        if f == 0.0:
+            continue
+        coords = tree.coordinates(sample_ages)
+        # clade-by-group counts, children-before-parents
+        C = np.zeros((tree.num_nodes, G))
+        C[:N] = onehot
+        order = topological_order(tree.parent)
+        for v in order:
+            C[v] = C[tree.child_left[v]] + C[tree.child_right[v]]
+        for v in order:
+            t = coords[v]
+            a = C[tree.child_left[v]]
+            b = C[tree.child_right[v]]
+            pair = np.outer(a, b)
+            pair = 0.5 * (pair + pair.T)   # symmetrize unordered pairs
+            e = np.searchsorted(epochs, t, side="right") - 1
+            e = min(max(e, 0), E - 1)
+            counts[e] += f * pair
+            ov = _epoch_overlap(epochs, t)
+            opp += f * ov[:, None, None] * pair[None]
+    return counts, opp
+
+
+def finalize_rates(counts: np.ndarray, opp: np.ndarray) -> np.ndarray:
+    """rate[e,a,b] = counts/opportunity (FinalizePopulationSize.cpp:70-92);
+    nan where there is no opportunity."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(opp > 0, counts / np.maximum(opp, 1e-300), np.nan)
+
+
+# ---------------------------------------------------------------------------
+# .coal file IO (FinalizePopulationSize.cpp:96-110)
+# ---------------------------------------------------------------------------
+
+def write_coal(path: str, epochs: np.ndarray, rates: np.ndarray,
+               group_names: Optional[List[str]] = None):
+    """rates: (E,) whole-sample or (E, G, G) by group pair."""
+    rates = np.asarray(rates)
+    if rates.ndim == 1:
+        rates = rates[:, None, None]
+    G = rates.shape[1]
+    if group_names is None:
+        group_names = [str(g) for g in range(G)]
+    with open(path, "w") as f:
+        f.write(" ".join(group_names) + "\n")
+        f.write(" ".join(f"{e:g}" for e in epochs) + "\n")
+        for a in range(G):
+            for b in range(G):
+                row = " ".join("nan" if np.isnan(x) else f"{x:g}"
+                               for x in rates[:, a, b])
+                f.write(f"{a} {b} {row}\n")
+
+
+def read_coal(path: str):
+    with open(path) as f:
+        names = f.readline().split()
+        epochs = np.asarray([float(x) for x in f.readline().split()])
+        G = len(names)
+        E = len(epochs)
+        rates = np.full((E, G, G), np.nan)
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            a, b = int(parts[0]), int(parts[1])
+            vals = np.asarray([float(x) for x in parts[2:]])
+            rates[: len(vals), a, b] = vals
+    return names, epochs, rates
+
+
+# ---------------------------------------------------------------------------
+# EM driver (EstimatePopulationSize.sh)
+# ---------------------------------------------------------------------------
+
+def estimate_popsize_em(anc: AncesTree, muts: List[MutationRecord],
+                        dist: np.ndarray, mu: float = 1.25e-8,
+                        years_per_gen: float = 28.0,
+                        epochs: Optional[np.ndarray] = None,
+                        num_iter: int = 10, seed: int = 1,
+                        group_of_hap: Optional[np.ndarray] = None,
+                        verbose: bool = False):
+    """Joint branch-length / coalescence-rate EM.
+
+    Iterates: (1) per-epoch rates from the current branch lengths;
+    (2) re-run the branch-length MCMC under the piecewise-rate prior
+    (ReEstimateBranchLengths <-> EstimatePopulationSize, default 10
+    iterations). Mutates ``anc`` in place; returns (epochs, rates (E,G,G)).
+    """
+    if epochs is None:
+        epochs = default_epochs(years_per_gen)
+    L = len(muts)
+    spans = tree_spans(anc, muts, dist)
+    trees = [mt.tree for mt in anc.seq]
+
+    for it in range(num_iter):
+        counts, opp = coalescence_stats(trees, spans, epochs, group_of_hap)
+        rates = finalize_rates(counts, opp)
+        whole = finalize_rates(counts.sum(axis=(1, 2)), opp.sum(axis=(1, 2)))
+        if verbose:
+            ne = 0.5 / np.nanmean(whole)
+            print(f"[em] iter {it}: mean Ne ~ {ne:.0f}")
+        # normalize into coalescent units (InferBranchLengths.cpp:86-152)
+        pos = whole[np.isfinite(whole) & (whole > 0)]
+        if len(pos) == 0:
+            break
+        avg_ne = 1.0 / pos.mean()
+        r_norm = np.where(np.isfinite(whole) & (whole > 0), whole, 0.0) \
+            * avg_ne
+        e_norm = epochs / avg_ne
+        bl = mcmc.run_mcmc(trees, dist.astype(np.float64), L,
+                           Ne=avg_ne, mu=mu, seed=seed + it,
+                           epochs=e_norm, rates=r_norm)
+        for i, mt in enumerate(anc.seq):
+            mt.tree.branch_length = bl[i]
+
+    counts, opp = coalescence_stats(trees, spans, epochs, group_of_hap)
+    rates = finalize_rates(counts, opp)
+    return epochs, rates

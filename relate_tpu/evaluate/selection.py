@@ -1,0 +1,231 @@
+"""Selection-evidence scan.
+
+Behavioral reference: ``include/evaluate/selection/RelateSelection.cpp``:
+- ``Frequency`` (:330-...): per SNP, the number of carrier lineages and
+  total lineages at each epoch boundary, walked from the root down
+  (.freq/.lin files; epochs listed oldest-first), plus the lineage counts
+  when the derived allele reaches half its present count and count 2.
+- ``Selection`` (:190-330): log10 p-value that a mutation observed at fk of
+  k lineages rises to fN of N under neutrality — the hypergeometric tail
+  P(f >= fN | N, k, fk) (log_pvalue, :141-178) — per epoch and for the
+  DAF-half / freq-2 anchor points (.sele).
+- ``Quality`` (:mapping quality per SNP; fraction of branches with
+  mutations, fraction of non-mapping SNPs per tree).
+
+Vectorized reformulation: lineage counts at all epoch boundaries for one
+tree are a rank-1 comparison ``coords > epochs``; carrier counts restrict
+the comparison to the mutation's clade (a masked sum). All SNPs on the same
+tree share the tree-level quantities.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.topology import MutationRecord
+from ..core.trees import AncesTree, Tree
+
+
+def lineages_at(tree: Tree, coords: np.ndarray,
+                times: np.ndarray) -> np.ndarray:
+    """Number of branches crossing each time (0 above the root age)."""
+    N = tree.N
+    internal = coords[N:]
+    counts = 1 + (internal[None, :] > times[:, None]).sum(axis=1)
+    counts = np.where(times > coords[tree.root], 0, counts)
+    return counts
+
+
+def carriers_at(tree: Tree, coords: np.ndarray, leafmat: np.ndarray,
+                branch: int, times: np.ndarray) -> np.ndarray:
+    """Number of carrier lineages crossing each time: branches in the
+    mutation branch's subtree (incl. itself) whose span covers t; 0 at/above
+    the parent of the mutation branch."""
+    N = tree.N
+    # subtree membership: node u is in subtree(b) iff clade(u) subset clade(b)
+    sub = (leafmat & ~leafmat[branch]).sum(axis=1) == 0   # (M,)
+    par = tree.parent.copy()
+    par_coord = np.where(par >= 0, coords[np.maximum(par, 0)], np.inf)
+    lo = coords
+    crossing = (lo[None, :] <= times[:, None]) \
+        & (times[:, None] < par_coord[None, :])
+    counts = (crossing & sub[None, :]).sum(axis=1)
+    ptop = coords[tree.parent[branch]] if tree.parent[branch] >= 0 else np.inf
+    counts = np.where(times >= ptop, 0, counts)
+    return counts
+
+
+def compute_freq_lin(anc: AncesTree, muts: List[MutationRecord],
+                     epochs: np.ndarray, bp=None, rsid=None):
+    """Per-SNP carrier/lineage counts at epoch boundaries (oldest-first,
+    like the reference's .freq/.lin) plus the DAF-half and freq-2 lineage
+    anchors. Returns a list of dict rows (None for skipped SNPs:
+    non-mapping, flipped, or rare)."""
+    E = len(epochs)
+    times = epochs[::-1].copy()            # oldest first
+    rows = []
+    cur_tree = -1
+    coords = leafmat = None
+    tree = None
+    for snp, m in enumerate(muts):
+        if len(m.branch) != 1 or m.flipped:
+            rows.append(None)
+            continue
+        b = m.branch[0]
+        if m.tree != cur_tree:
+            cur_tree = m.tree
+            tree = anc.seq[cur_tree].tree
+            coords = tree.coordinates(anc.sample_ages)
+            leafmat = tree.leaf_matrix().astype(bool)
+        daf = int(leafmat[b].sum())
+        if b == tree.root or b < 0:
+            rows.append(None)
+            continue
+        lin = lineages_at(tree, coords, times)
+        frq = carriers_at(tree, coords, leafmat, b, times)
+        # anchors: lineage counts when the carrier count first reaches
+        # half the DAF and 2, scanning forward in time (root -> present)
+        daf_half = (daf + 1) // 2
+        # anchor times: carrier count changes at subtree coalescences,
+        # scanned by age descending (root -> present)
+        sub_nodes = [v for v in range(tree.num_nodes)
+                     if (leafmat[v] & ~leafmat[b]).sum() == 0
+                     and leafmat[v].sum() <= daf and v >= tree.N]
+        ages_desc = np.sort(coords[sub_nodes])[::-1] if sub_nodes else \
+            np.array([])
+
+        def lin_when(target):
+            # carriers going back in time: 1 at branch b, +1 per subtree
+            # coalescence below; carriers(t) >= target first at the age of
+            # the (target-1)-th subtree coalescence (descending)
+            if target <= 1:
+                t = coords[tree.parent[b]] if tree.parent[b] >= 0 else None
+            elif target - 2 < len(ages_desc):
+                t = ages_desc[target - 2]
+            else:
+                return -1
+            if t is None:
+                return -1
+            return int(lineages_at(tree, coords, np.asarray([t - 1e-9]))[0])
+
+        rows.append({
+            "snp": snp,
+            "pos": int(bp[snp]) if bp is not None else snp,
+            "rsid": rsid[snp] if rsid is not None else ".",
+            "freq": frq, "lin": lin, "daf": daf,
+            "lin_when_half": lin_when(daf_half) if daf_half > 1 else -1,
+            "lin_when_freq2": lin_when(2),
+        })
+    return rows
+
+
+def log_pvalue(k: int, fk: float, N: int, fN: float,
+               logF: np.ndarray) -> float:
+    """log10 P(frequency >= fN | N, k, fk) (RelateSelection.cpp:141-178)."""
+    if fk < 2 or k == -1:
+        return 1.0
+    k = int(k)
+    fk = int(fk)
+    fN = int(fN)
+    if not (fN < N and fk < k and fN > 0):
+        return 1.0
+    px = (logF[N - fN - 1] - logF[k - fk - 1] - logF[N - k + fk - fN]
+          + logF[fN - 1] - logF[fk - 1] - logF[fN - fk]
+          - (logF[N - 1] - logF[k - 1] - logF[N - k]))
+    logp = px
+    x = fN - fk
+    y = N - k
+    c = N - 1
+    while x < N - k:
+        var = fk + x
+        px += np.log((y - x) / (x + 1.0) * var / (c - var))
+        logp = np.log(1.0 + np.exp(px - logp)) + logp
+        x += 1
+    if logp > 0.0:
+        logp = 0.0
+    return float(logp / np.log(10))
+
+
+def selection_scan(anc: AncesTree, muts: List[MutationRecord],
+                   epochs: np.ndarray, bp=None, rsid=None):
+    """Frequency + Selection in one pass. Returns (rows, pvalue table):
+    for each usable SNP, per-epoch log10 p-values (oldest-first) and the
+    DAF-half / freq-2 p-values."""
+    N = anc.N
+    logF = np.zeros(N + 1)
+    logF[1:] = np.cumsum(np.log(np.arange(1, N + 1)))
+    rows = compute_freq_lin(anc, muts, epochs, bp, rsid)
+    out = []
+    for row in rows:
+        if row is None:
+            out.append(None)
+            continue
+        fN = row["daf"]
+        E = len(row["lin"])
+        if fN <= 2:
+            pv = np.ones(E)
+            p_half = p_2 = 1.0
+        else:
+            pv = np.asarray([log_pvalue(row["lin"][i], row["freq"][i],
+                                        N, fN, logF) for i in range(E)])
+            p_half = log_pvalue(row["lin_when_half"], (fN + 1) // 2,
+                                N, fN, logF)
+            p_2 = log_pvalue(row["lin_when_freq2"], 2, N, fN, logF)
+        out.append({"snp": row["snp"], "pos": row["pos"],
+                    "rsid": row["rsid"], "pvalues": pv,
+                    "p_half": p_half, "p_freq2": p_2})
+    return rows, out
+
+
+def write_freq_lin(path_prefix: str, rows, epochs: np.ndarray):
+    times = epochs[::-1]
+    hdr = "pos rs_id " + " ".join(f"{t:f}" for t in times)
+    with open(path_prefix + ".freq", "w") as ff, \
+            open(path_prefix + ".lin", "w") as fl:
+        ff.write(hdr + " TreeFreq DataFreq\n")
+        fl.write(hdr + " when_DAF_is_half when_mutation_has_freq2\n")
+        for row in rows:
+            if row is None:
+                continue
+            ff.write(f"{row['pos']} {row['rsid']} "
+                     + " ".join(str(int(x)) for x in row["freq"])
+                     + f" {row['daf']} {row['daf']}\n")
+            fl.write(f"{row['pos']} {row['rsid']} "
+                     + " ".join(str(int(x)) for x in row["lin"])
+                     + f" {row['lin_when_half']} {row['lin_when_freq2']}\n")
+
+
+def write_sele(path: str, scan, epochs: np.ndarray):
+    times = epochs[::-1]
+    with open(path, "w") as f:
+        f.write("pos rs_id " + " ".join(f"{t:f}" for t in times)
+                + " when_DAF_is_half when_mutation_has_freq2\n")
+        for row in scan:
+            if row is None:
+                continue
+            f.write(f"{row['pos']} {row['rsid']} "
+                    + " ".join(f"{p:.4g}" for p in row["pvalues"])
+                    + f" {row['p_half']:.4g} {row['p_freq2']:.4g}\n")
+
+
+def quality(anc: AncesTree, muts: List[MutationRecord]):
+    """Per-tree mapping-quality metrics (RelateSelection Quality mode):
+    SNPs on tree, fraction of branches carrying >= 1 mutation, fraction of
+    non-mapping SNPs."""
+    T = len(anc.seq)
+    num_snps = np.zeros(T)
+    num_notmapping = np.zeros(T)
+    for m in muts:
+        num_snps[m.tree] += 1
+        if len(m.branch) > 1:
+            num_notmapping[m.tree] += 1
+    frac_branches = np.zeros(T)
+    for t, mt in enumerate(anc.seq):
+        ne = mt.tree.num_events
+        frac_branches[t] = (ne[:-1] > 0).mean()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac_nm = np.where(num_snps > 0, num_notmapping / num_snps, 0.0)
+    return {"num_snps_on_tree": num_snps,
+            "frac_branches_with_mut": frac_branches,
+            "frac_not_mapping": frac_nm}

@@ -1,6 +1,4 @@
 """Evaluate-stack differential tests (coalescence rates, selection scan)."""
-import gzip
-
 import numpy as np
 import pytest
 
@@ -50,16 +48,16 @@ def test_selection_scan_matches_reference(golden_dir, final_pair):
 
     def load(path, ncol):
         out = {}
-        with gzip.open(path, "rt") as f:
+        with open(path) as f:
             f.readline()
             for line in f:
                 p = line.split()
                 out[int(p[0])] = p[2:]
         return out
 
-    gf = load(golden_dir / "goldenfreq.freq.head.gz", 31)
-    gl = load(golden_dir / "goldenfreq.lin.head.gz", 33)
-    gs = load(golden_dir / "goldensel.sele.head.gz", 33)
+    gf = load(golden_dir / "goldenfreq.freq.head", 31)
+    gl = load(golden_dir / "goldenfreq.lin.head", 33)
+    gs = load(golden_dir / "goldensel.sele.head", 33)
 
     ncmp = 0
     for row, sc in zip(rows, scan):

@@ -57,9 +57,9 @@ class ChainStatic(NamedTuple):
     mut_rate: jnp.ndarray     # (B, M) f32
     kc2_pos: jnp.ndarray      # (M,) f32 C(nl(p),2) per sorted position
     # piecewise coalescent prior (constant Ne -> single epoch, rate 1)
-    epochs: jnp.ndarray       # (E+1,) f32 boundaries (epochs[0]=0, last=inf)
-    rates: jnp.ndarray        # (B, E) f32 per-tree rates (group avg)
-    cumR: jnp.ndarray         # (B, E+1,) f32 integral of rate up to boundary
+    epochs: jnp.ndarray       # (E,) f32 boundaries (epochs[0]=0)
+    rates: jnp.ndarray        # (B, E) f32 rate in [epochs[i], epochs[i+1])
+    cumR: jnp.ndarray         # (B, E) f32 integral of rate up to boundary
 
 
 class ChainState(NamedTuple):
@@ -426,19 +426,21 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
 
     use_vp = epochs is not None
     if use_vp:
-        E = len(epochs) - 1
+        # one rate per boundary; interval i = [epochs[i], epochs[i+1]),
+        # the last extending to infinity (.coal convention)
         ep = np.asarray(epochs, dtype=np.float64)
+        E = len(ep)
         rt = np.broadcast_to(np.asarray(rates, dtype=np.float64), (B, E))
-        cumR = np.zeros((B, E + 1))
+        cumR = np.zeros((B, E))
         widths = np.diff(ep)
-        cumR[:, 1:] = np.cumsum(rt[:, :len(widths)] * widths, axis=1)
+        cumR[:, 1:] = np.cumsum(rt[:, : E - 1] * widths, axis=1)
         epochs_d = jnp.asarray(ep, jnp.float32)
         rates_d = jnp.asarray(rt, jnp.float32)
         cumR_d = jnp.asarray(cumR, jnp.float32)
     else:
-        epochs_d = jnp.asarray([0.0, np.inf], jnp.float32)
+        epochs_d = jnp.asarray([0.0], jnp.float32)
         rates_d = jnp.ones((B, 1), jnp.float32)
-        cumR_d = jnp.zeros((B, 2), jnp.float32)
+        cumR_d = jnp.zeros((B, 1), jnp.float32)
 
     # position-indexed C(nl,2) (contemporary samples)
     nl = np.concatenate([np.full(N, N), 2 * N - 1 - np.arange(N, 2 * N - 1)])

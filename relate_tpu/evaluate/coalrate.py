@@ -88,9 +88,13 @@ def tree_spans(anc: AncesTree, muts: List[MutationRecord],
 # ---------------------------------------------------------------------------
 
 def _epoch_overlap(epochs: np.ndarray, t: float) -> np.ndarray:
-    """Per-epoch length of [0, t] intersected with each epoch."""
-    lo = epochs[:-1]
-    hi = np.append(epochs[1:-1], np.inf)
+    """Per-epoch length of [0, t] intersected with each epoch.
+
+    Convention (matches the .coal format): one interval per boundary,
+    interval i = [epochs[i], epochs[i+1]), the last extending to infinity.
+    """
+    lo = epochs
+    hi = np.append(epochs[1:], np.inf)
     return np.clip(np.minimum(hi, t) - lo, 0.0, None)
 
 
@@ -105,7 +109,7 @@ def coalescence_stats(trees: List[Tree], factors: np.ndarray,
     where each unordered haplotype pair contributes once (to [a,b] and [b,a]
     half each for a != b; diagonal gets the within-group pairs).
     """
-    E = len(epochs) - 1
+    E = len(epochs)
     N = trees[0].N
     if group_of_hap is None:
         group_of_hap = np.zeros(N, dtype=np.int64)

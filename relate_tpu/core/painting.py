@@ -297,7 +297,33 @@ def make_painting_kernels(model: PaintingModel):
         lsb_rev = jnp.concatenate([ls_beta[None], lsbs], axis=0)
         return topo_rev, lstot_rev, beta_rev, lsb_rev
 
-    return jax.jit(fwd), jax.jit(bwd)
+    def bwd_full(G, idx, seqk, pfac, nxt, D, kmask, a_all, lsf, beta_end):
+        """Backward pass + posterior with all step reversals computed on
+        device (one upload of the forward plan serves both passes)."""
+        B, Dmax = idx.shape
+        u = jnp.arange(Dmax)[None, :]
+        j = D[:, None] - 1 - u
+        jc = jnp.clip(j, 0, Dmax - 1)
+        ridx = jnp.take_along_axis(idx, jc, axis=1)
+        rseqk = jnp.take_along_axis(seqk, jc, axis=1)
+        jp1 = jnp.clip(j + 1, 0, Dmax - 1)
+        # the reference reads both the transition factor and the logscale
+        # increment from interval j+1 (fast_painting.cpp:960-963,1063-1070)
+        rnxt = jnp.take_along_axis(nxt, jp1, axis=1)
+        rpfac_next = jnp.take_along_axis(pfac, jp1, axis=1)
+        rg = jc.T                                        # (Dmax, B)
+        arev = jnp.take_along_axis(a_all, rg[:, :, None], axis=0)
+        lsf_rev = jnp.take_along_axis(lsf, rg, axis=0)
+        topo_rev, lstot_rev, beta_rev, lsb_rev = bwd(
+            G, ridx, rseqk, rpfac_next, rnxt, D, kmask,
+            arev, lsf_rev, beta_end)
+        topo = jnp.take_along_axis(topo_rev, rg[:, :, None], axis=0)
+        lstot = jnp.take_along_axis(lstot_rev, rg, axis=0)
+        beta = jnp.take_along_axis(beta_rev, rg[:, :, None], axis=0)
+        lsb = jnp.take_along_axis(lsb_rev, rg, axis=0)
+        return topo, lstot, beta, lsb
+
+    return jax.jit(fwd), jax.jit(bwd), jax.jit(bwd_full)
 
 
 def _reverse_plan(plan: TargetPlan):
@@ -360,8 +386,10 @@ class Painter:
         self.G = jnp.asarray(self.G_host)
         self.r = np.asarray(r, dtype=np.float64)
         self.model = model
-        self._fwd, self._bwd = make_painting_kernels(model)
+        self._fwd, self._bwd, self._bwd_full = make_painting_kernels(model)
         self.L, self.N = G.shape
+        self._extract = jax.jit(
+            lambda arr, rows: arr[rows, jnp.arange(arr.shape[1])])
 
     # -- boundaries ------------------------------------------------------
     def window_boundary_sites(self, boundaries: np.ndarray
@@ -397,9 +425,10 @@ class Painter:
     # -- internals -------------------------------------------------------
     @staticmethod
     def _plan_dev(plan: TargetPlan):
-        return (jnp.asarray(plan.idx), jnp.asarray(plan.seqk),
-                jnp.asarray(plan.pfac), jnp.asarray(plan.nxt),
-                jnp.asarray(plan.D), jnp.asarray(plan.kmask))
+        """Upload a plan's arrays to device once; reused by fwd and bwd."""
+        return (jax.device_put(plan.idx), jax.device_put(plan.seqk),
+                jax.device_put(plan.pfac), jax.device_put(plan.nxt),
+                jax.device_put(plan.D), jax.device_put(plan.kmask))
 
     @staticmethod
     def _row_of_site(plan: TargetPlan, sites: np.ndarray) -> np.ndarray:
@@ -412,24 +441,14 @@ class Painter:
             rows[b] = pos
         return rows
 
-    def _run_fwd(self, plan: TargetPlan, alpha0):
-        return self._fwd(self.G, *self._plan_dev(plan), jnp.asarray(alpha0))
+    def _run_fwd(self, plan: TargetPlan, alpha0, dev=None):
+        dev = dev or self._plan_dev(plan)
+        return self._fwd(self.G, *dev, jnp.asarray(alpha0))
 
-    def _run_bwd(self, plan: TargetPlan, a_all, lsf, beta_end):
-        ridx, rseqk, rpfac_next, rnxt, rev_gather = _reverse_plan(plan)
-        rg = jnp.asarray(rev_gather.T)                       # (Dmax, B)
-        arev = jnp.take_along_axis(a_all, rg[:, :, None], axis=0)
-        lsf_rev = jnp.take_along_axis(lsf, rg, axis=0)
-        topo_rev, lstot_rev, beta_rev, lsb_rev = self._bwd(
-            self.G, jnp.asarray(ridx), jnp.asarray(rseqk),
-            jnp.asarray(rpfac_next), jnp.asarray(rnxt),
-            jnp.asarray(plan.D), jnp.asarray(plan.kmask),
-            arev, lsf_rev, jnp.asarray(beta_end))
-        topo = jnp.take_along_axis(topo_rev, rg[:, :, None], axis=0)
-        lstot = jnp.take_along_axis(lstot_rev, rg, axis=0)
-        beta = jnp.take_along_axis(beta_rev, rg[:, :, None], axis=0)
-        lsb = jnp.take_along_axis(lsb_rev, rg, axis=0)
-        return topo, lstot, beta, lsb
+    def _run_bwd(self, plan: TargetPlan, a_all, lsf, beta_end, dev=None):
+        dev = dev or self._plan_dev(plan)
+        return self._bwd_full(self.G, *dev, a_all, lsf,
+                              jnp.asarray(beta_end))
 
     # -- stepping stones -------------------------------------------------
     def paint_stepping_stones(self, boundaries: np.ndarray):
@@ -461,11 +480,10 @@ class Painter:
             plan = build_target_plan(self.G_host, self.r, self.model,
                                      bsb[w], bse[w], targets)
             a_all, ls_all = self._run_fwd(plan, alpha)
-            rows = self._row_of_site(plan, bsb[w + 1])
-            a_np, ls_np = np.asarray(a_all), np.asarray(ls_all)
-            sel = np.arange(N)
-            alpha = a_np[rows, sel]
-            lsa = lsa + ls_np[rows, sel].astype(np.float64)
+            rows = jnp.asarray(self._row_of_site(plan, bsb[w + 1]))
+            alpha = np.asarray(self._extract(a_all, rows))
+            lsa = lsa + np.asarray(self._extract(ls_all, rows),
+                                   dtype=np.float64)
 
         Dtot = self.G_host[1:-1].sum(axis=0).astype(np.int64) + 2
         beta = np.ones((N, N), dtype=np.float32)
@@ -482,13 +500,14 @@ class Painter:
             plan = build_target_plan(self.G_host, self.r, self.model,
                                      bsb[w], bse[w], targets,
                                      final_raw=final_raw)
-            a_all, lsf = self._run_fwd(plan, alphas0[w])
-            _, _, beta_all, lsb_all = self._run_bwd(plan, a_all, lsf, beta)
-            rows = self._row_of_site(plan, bse[w - 1])
-            b_np, lsb_np = np.asarray(beta_all), np.asarray(lsb_all)
-            sel = np.arange(N)
-            beta = b_np[rows, sel]
-            lsb = lsb + lsb_np[rows, sel].astype(np.float64)
+            dev = self._plan_dev(plan)
+            a_all, lsf = self._run_fwd(plan, alphas0[w], dev)
+            _, _, beta_all, lsb_all = self._run_bwd(plan, a_all, lsf, beta,
+                                                    dev)
+            rows = jnp.asarray(self._row_of_site(plan, bse[w - 1]))
+            beta = np.asarray(self._extract(beta_all, rows))
+            lsb = lsb + np.asarray(self._extract(lsb_all, rows),
+                                   dtype=np.float64)
 
         return [Checkpoint(alpha=alphas0[w], ls_alpha=lsa0[w], bsb=bsb[w],
                            beta=betasW[w], ls_beta=lsbW[w], bse=bse[w])
@@ -523,8 +542,10 @@ class Painter:
                                  cp.bsb[targets] if np.ndim(cp.bsb) else cp.bsb,
                                  cp.bse[targets] if np.ndim(cp.bse) else cp.bse,
                                  targets)
-        a_all, lsf = self._run_fwd(plan, cp.alpha[targets])
-        topo, lstot, _, _ = self._run_bwd(plan, a_all, lsf, cp.beta[targets])
+        dev = self._plan_dev(plan)
+        a_all, lsf = self._run_fwd(plan, cp.alpha[targets], dev)
+        topo, lstot, _, _ = self._run_bwd(plan, a_all, lsf,
+                                          cp.beta[targets], dev)
         base = (np.asarray(cp.ls_alpha, np.float64)[targets]
                 + np.asarray(cp.ls_beta, np.float64)[targets])
         return PaintOutput(topology=topo, logscale=lstot, ls_base=base,
@@ -539,8 +560,9 @@ class Painter:
             targets = np.arange(self.N, dtype=np.int32)
         plan = build_target_plan(self.G_host, self.r, self.model,
                                  first_arr, last_arr, targets)
-        a_all, lsf = self._run_fwd(plan, alpha0)
-        topo, lstot, _, _ = self._run_bwd(plan, a_all, lsf, beta_end)
+        dev = self._plan_dev(plan)
+        a_all, lsf = self._run_fwd(plan, alpha0, dev)
+        topo, lstot, _, _ = self._run_bwd(plan, a_all, lsf, beta_end, dev)
         base = (np.asarray(ls_alpha, np.float64)
                 + np.asarray(ls_beta, np.float64))
         return PaintOutput(topology=topo, logscale=lstot, ls_base=base,

@@ -238,3 +238,77 @@ def estimate_popsize_em(anc: AncesTree, muts: List[MutationRecord],
     counts, opp = coalescence_stats(trees, spans, epochs, group_of_hap)
     rates = finalize_rates(counts, opp)
     return epochs, rates
+
+
+# ---------------------------------------------------------------------------
+# additional modes (RelateCoalescentRate.cpp:40-202)
+# ---------------------------------------------------------------------------
+
+def coal_rate_for_tree(trees, epochs: np.ndarray,
+                       sample_ages: Optional[np.ndarray] = None):
+    """Per-tree per-epoch coalescence rates (CoalescenceRateForTree,
+    CoalescentRateForSection.cpp:605-858): counts/opportunity per tree."""
+    T = len(trees)
+    E = len(epochs)
+    counts = np.zeros((T, E))
+    opp = np.zeros((T, E))
+    for t, tree in enumerate(trees):
+        c, o = coalescence_stats([tree], np.ones(1), epochs,
+                                 sample_ages=sample_ages)
+        counts[t] = c.sum(axis=(1, 2))
+        opp[t] = o.sum(axis=(1, 2))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rates = np.where(opp > 0, counts / np.maximum(opp, 1e-300), np.nan)
+    return counts, opp, rates
+
+
+def generate_const_coal(path: str, Ne: float, epochs: np.ndarray):
+    """GenerateConstCoalFile: a .coal with rate 1/Ne in every epoch
+    (CoalescentRateForSection.cpp GenerateConstCoal)."""
+    write_coal(path, epochs, np.full(len(epochs), 1.0 / Ne), ["0"])
+
+
+def summarize_for_genome(per_chr_stats):
+    """Sum per-chromosome (counts, opp) sufficient statistics — the
+    in-memory (or psum) replacement of
+    SummarizeCoalescentRateForGenome.cpp's filesystem all-reduce."""
+    counts = sum(c for c, _ in per_chr_stats)
+    opp = sum(o for _, o in per_chr_stats)
+    return counts, opp
+
+
+def finalize_coalescence_count(counts: np.ndarray):
+    """FinalizeCoalescenceCount: emit raw per-epoch pairwise counts."""
+    return counts
+
+
+def bootstrap_rates(trees, factors: np.ndarray, epochs: np.ndarray,
+                    num_bootstrap: int = 100, block_size: int = 100,
+                    seed: int = 1,
+                    sample_ages: Optional[np.ndarray] = None):
+    """Block-bootstrap MLE coalescence rates over trees (coal_tree.hpp:19-46):
+    resample contiguous blocks of trees with replacement and recompute
+    rate = counts/opportunity per replicate. Returns (E, num_bootstrap)."""
+    T = len(trees)
+    E = len(epochs)
+    per_tree_c = np.zeros((T, E))
+    per_tree_o = np.zeros((T, E))
+    for t, tree in enumerate(trees):
+        if factors[t] == 0.0:
+            continue
+        c, o = coalescence_stats([tree], factors[t: t + 1], epochs,
+                                 sample_ages=sample_ages)
+        per_tree_c[t] = c.sum(axis=(1, 2))
+        per_tree_o[t] = o.sum(axis=(1, 2))
+    rng = np.random.default_rng(seed)
+    nblocks = max(T // block_size, 1)
+    out = np.empty((E, num_bootstrap))
+    for b in range(num_bootstrap):
+        starts = rng.integers(0, max(T - block_size, 1), size=nblocks)
+        sel = np.concatenate([np.arange(s, min(s + block_size, T))
+                              for s in starts])
+        c = per_tree_c[sel].sum(axis=0)
+        o = per_tree_o[sel].sum(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[:, b] = np.where(o > 0, c / np.maximum(o, 1e-300), np.nan)
+    return out

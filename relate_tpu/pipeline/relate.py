@@ -296,3 +296,63 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
         print(f"[relate] Number of not mapping SNPs: {nnm}")
         print(f"[relate] Number of flipped SNPs    : {nfl}")
     return output
+
+
+def optimize_parameters(store: ArtifactStore, c: int,
+                        thetas=None, rho_scales=None,
+                        section: int = 0, max_snps: int = 2000,
+                        seed: int = 1):
+    """Grid-search painting parameters (pipeline/OptimizeParameters.cpp:
+    theta in {1e-4..1e-1}, rho-scale in {0.001..100}, :76-77): for each
+    combination, repaint a section and count SNPs that do not map onto a
+    tree built from the distance matrix with the SNP's own signal cancelled
+    (anc_builder.cpp:821-979). Returns list of (theta, rho, frac_nonmapping).
+    """
+    from ..core import mapmutation
+    from ..core.distance import DistanceAssembler
+    from ..core.treebuilder import quick_build
+
+    if thetas is None:
+        thetas = [1e-4, 1e-3, 1e-2, 1e-1]
+    if rho_scales is None:
+        rho_scales = [0.001, 0.01, 0.1, 1.0, 10.0, 100.0]
+    ch = store.load_chunk(c)
+    bounds = ch.windows.boundaries
+    start = bounds[section]
+    end = min(bounds[section + 1] - 1, ch.L - 1, start + max_snps)
+    results = []
+    log_ratio_cache = {}
+    for theta in thetas:
+        for rho in rho_scales:
+            model = painting.PaintingModel(N=ch.N, theta=theta)
+            painter = painting.Painter(ch.G, ch.r * rho, model)
+            cps = painter.paint_stepping_stones(np.asarray(bounds))
+            paint = painter.repaint(cps[section])
+            assembler = DistanceAssembler(ch.G, ch.rpos)
+            dstate = assembler.init_state(paint.plan, start)
+            log_ratio = float(np.log(theta / (1.0 - theta)))
+            nonmap = 0
+            total = 0
+            for snp in range(start, end + 1):
+                carriers = np.nonzero(ch.G[snp])[0]
+                if snp > start:
+                    dstate = assembler.advance(dstate, snp, carriers)
+                if len(carriers) == 0 or len(carriers) == ch.N:
+                    continue
+                mat = assembler.get_matrix(
+                    paint, dstate, snp,
+                    is_first_or_last=(snp in (0, ch.L - 1)))
+                # cancel the current SNP's own signal
+                # (anc_builder.cpp:869-881)
+                mask = ch.G[snp] == 1
+                mat[np.ix_(mask, ~mask)] += log_ratio
+                mat[mask] -= mat[mask].min(axis=1, keepdims=True)
+                tree = quick_build(mat, theta=theta, seed=seed)
+                res = mapmutation.map_mutations_block(
+                    tree, tree.leaf_matrix(),
+                    ch.G[snp: snp + 1].astype(np.uint8))
+                total += 1
+                if res.is_mapping[0] > 1:
+                    nonmap += 1
+            results.append((theta, rho, nonmap / max(total, 1)))
+    return results

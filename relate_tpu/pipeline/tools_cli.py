@@ -1,0 +1,231 @@
+"""CLI for the post-inference tool suite, mirroring the reference binaries
+RelateCoalescentRate / RelateMutationRate / RelateSelection / RelateExtract /
+RelateFileFormats / RelateTreeView (see SURVEY §2.3-2.4 for mode lists).
+
+Usage: python -m relate_tpu.pipeline.tools_cli <tool> --mode <Mode> ...
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load_pair(prefix):
+    from .scripts import _load_pair
+    return _load_pair(prefix)
+
+
+def coalescent_rate(args):
+    from ..evaluate import coalrate
+    from .scripts import estimate_population_size
+    epochs = coalrate.epochs_from_bins(*args.bins, args.years_per_gen) \
+        if args.bins else coalrate.default_epochs(args.years_per_gen)
+    if args.mode == "EstimatePopulationSize":
+        anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
+        spans = coalrate.tree_spans(anc, recs, dist)
+        trees = [mt.tree for mt in anc.seq]
+        group = None
+        names = ["0"]
+        if args.poplabels:
+            from ..io import haps as hio
+            pl = hio.read_poplabels(args.poplabels)
+            group = pl.group_of_haplotype[: anc.N]
+            names = pl.groups
+        c, o = coalrate.coalescence_stats(trees, spans, epochs, group)
+        whole = coalrate.finalize_rates(c.sum(axis=(1, 2)), o.sum(axis=(1, 2)))
+        coalrate.write_coal(args.output + ".coal", epochs, whole, ["0"])
+        if group is not None:
+            coalrate.write_coal(args.output + ".pairwise.coal", epochs,
+                                coalrate.finalize_rates(c, o), names)
+    elif args.mode == "CoalRateForTree":
+        anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
+        trees = [mt.tree for mt in anc.seq]
+        counts, opp, rates = coalrate.coal_rate_for_tree(trees, epochs)
+        np.savez(args.output + ".rates.npz", epochs=epochs, counts=counts,
+                 opportunity=opp, rates=rates)
+    elif args.mode == "GenerateConstCoalFile":
+        coalrate.generate_const_coal(args.output + ".coal", args.effectiveN,
+                                     epochs)
+    elif args.mode == "ReEstimateBranchLengths":
+        from .scripts import reestimate_branch_lengths
+        reestimate_branch_lengths(args.input, args.output, args.coal,
+                                  mu=args.mutation_rate, seed=args.seed)
+    elif args.mode == "SampleBranchLengths":
+        from .scripts import sample_branch_lengths
+        sample_branch_lengths(args.input, args.output, args.coal,
+                              mu=args.mutation_rate,
+                              num_samples=args.num_samples,
+                              first_bp=args.first_bp, last_bp=args.last_bp,
+                              fmt=args.format, seed=args.seed)
+    elif args.mode == "EstimatePopulationSizeEM":
+        estimate_population_size(args.input, args.output,
+                                 mu=args.mutation_rate,
+                                 years_per_gen=args.years_per_gen,
+                                 poplabels_path=args.poplabels,
+                                 bins=args.bins, num_iter=args.num_iter,
+                                 seed=args.seed)
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+
+def mutation_rate(args):
+    from ..evaluate import coalrate, mutrate
+    anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
+    epochs = coalrate.epochs_from_bins(*args.bins, args.years_per_gen) \
+        if args.bins else coalrate.default_epochs(args.years_per_gen)
+    if args.mode == "Avg":
+        m, o, r = mutrate.avg_mutation_rate(anc, recs, dist, epochs)
+        mutrate.write_rate(args.output + "_avg.rate", epochs, r)
+    elif args.mode in ("WithContext", "WithContextForChromosome",
+                       "MutationRateForCategory"):
+        from ..io import haps as hio
+        anc_seq = hio.read_fasta(args.ancestor)
+        ancestral = [a.split("/")[0] for a in alleles]
+        alternative = [a.split("/")[1] if "/" in a else "N" for a in alleles]
+        cats, names = mutrate.categorize_snps(bp, ancestral, alternative,
+                                              anc_seq)
+        m, o, r = mutrate.avg_mutation_rate(anc, recs, dist, epochs,
+                                            categories=cats,
+                                            num_categories=len(names))
+        with open(args.output + ".rate", "w") as f:
+            f.write("epoch " + " ".join(names) + "\n")
+            for e in range(len(epochs)):
+                f.write(f"{epochs[e]:g} "
+                        + " ".join(f"{x:g}" for x in r[e]) + "\n")
+    elif args.mode == "MutationDensity":
+        m, o = mutrate.mutation_density(anc, recs, dist, epochs,
+                                        args.sample_id)
+        np.savez(args.output + ".density.npz", epochs=epochs, mutation=m,
+                 opportunity=o)
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+
+def selection_tool(args):
+    from ..evaluate import coalrate, selection
+    anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
+    epochs = coalrate.default_epochs(args.years_per_gen)
+    if args.mode == "Frequency":
+        rows = selection.compute_freq_lin(anc, recs, epochs, bp, rsid)
+        selection.write_freq_lin(args.output, rows, epochs)
+    elif args.mode == "Selection":
+        rows, scan = selection.selection_scan(anc, recs, epochs, bp, rsid)
+        selection.write_sele(args.output + ".sele", scan, epochs)
+    elif args.mode == "Quality":
+        q = selection.quality(anc, recs)
+        with open(args.output + ".qual", "w") as f:
+            f.write("tree num_snps frac_branches_with_mut frac_not_mapping\n")
+            for t in range(len(anc.seq)):
+                f.write(f"{t} {q['num_snps_on_tree'][t]:g} "
+                        f"{q['frac_branches_with_mut'][t]:g} "
+                        f"{q['frac_not_mapping'][t]:g}\n")
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+
+def extract_tool(args):
+    from ..io import ancmut, extract
+    anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
+    if args.mode == "AncToNewick":
+        nw = extract.anc_to_newick(anc, recs, bp, args.first_bp,
+                                   args.last_bp)
+        with open(args.output + ".newick", "w") as f:
+            f.write("\n".join(nw) + "\n")
+    elif args.mode == "SubTreesForSubpopulation":
+        from ..io import haps as hio
+        pl = hio.read_poplabels(args.poplabels)
+        keep = [h for h in range(anc.N)
+                if pl.groups[pl.group_of_haplotype[h]] in
+                set(args.pop_of_interest.split(","))]
+        sub_anc, sub_muts = extract.subtrees_for_subpopulation(anc, recs,
+                                                               keep)
+        from .scripts import _dump_pair
+        _dump_pair(args.output, sub_anc, sub_muts, bp, dist, rsid, alleles)
+    elif args.mode == "AncMutForSubregion":
+        sub, subm, (lo, hi) = extract.anc_mut_for_subregion(
+            anc, recs, bp, args.first_bp, args.last_bp)
+        from .scripts import _dump_pair
+        _dump_pair(args.output, sub, subm, bp[lo:hi + 1], dist[lo:hi + 1],
+                   rsid[lo:hi + 1], alleles[lo:hi + 1])
+    elif args.mode == "RemoveTreesWithFewMutations":
+        anc2, recs2 = extract.remove_trees_with_few_mutations(
+            anc, recs, args.threshold)
+        from .scripts import _dump_pair
+        _dump_pair(args.output, anc2, recs2, bp, dist, rsid, alleles)
+    elif args.mode == "ExtractDistFromMut":
+        extract.extract_dist_from_mut(
+            [{"pos": bp[i], "dist": int(dist[i])} for i in range(len(bp))],
+            args.output + ".dist")
+    elif args.mode == "DivideAncMut":
+        chunks = extract.divide_anc_mut(anc, recs, args.threads)
+        from .scripts import _dump_pair
+        off = 0
+        for i, (a, m) in enumerate(chunks):
+            n = len(m)
+            _dump_pair(f"{args.output}_chr{i+1}", a, m, bp[off:off + n],
+                       dist[off:off + n], rsid[off:off + n],
+                       alleles[off:off + n])
+            off += n
+    elif args.mode == "CombineAncMut":
+        parts = []
+        i = 1
+        import os
+        from .scripts import _load_pair as lp, _dump_pair
+        while os.path.exists(f"{args.output}_chr{i}.anc"):
+            a, m, *_ = lp(f"{args.output}_chr{i}")
+            parts.append((a, m))
+            i += 1
+        anc2, recs2 = extract.combine_anc_mut(parts)
+        _dump_pair(args.output, anc2, recs2, bp, dist, rsid, alleles)
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+
+def treeview_tool(args):
+    from ..io import treeview
+    anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
+    t = treeview.tree_at_bp(anc, recs, bp, args.bp_of_interest)
+    treeview.write_plot_coords(args.output + ".coords", anc, recs, t)
+    try:
+        treeview.render_tree(anc.seq[t].tree, args.output + ".png",
+                             anc.sample_ages)
+    except ImportError:
+        pass
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="relate_tpu.tools")
+    p.add_argument("tool", choices=["CoalescentRate", "MutationRate",
+                                    "Selection", "Extract", "TreeView"])
+    p.add_argument("--mode", default="")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-m", "--mutation_rate", type=float, default=1.25e-8)
+    p.add_argument("-N", "--effectiveN", type=float, default=3e4)
+    p.add_argument("--coal")
+    p.add_argument("--poplabels")
+    p.add_argument("--pop_of_interest", default="")
+    p.add_argument("--ancestor")
+    p.add_argument("--years_per_gen", type=float, default=28.0)
+    p.add_argument("--bins", type=lambda s: tuple(map(float, s.split(","))))
+    p.add_argument("--num_iter", type=int, default=10)
+    p.add_argument("--num_samples", type=int, default=100)
+    p.add_argument("--first_bp", type=int)
+    p.add_argument("--last_bp", type=int)
+    p.add_argument("--bp_of_interest", type=int, default=0)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--sample_id", type=int, default=0)
+    p.add_argument("--format", default="anc")
+    p.add_argument("--seed", type=int, default=1)
+    args = p.parse_args(argv)
+    {"CoalescentRate": coalescent_rate, "MutationRate": mutation_rate,
+     "Selection": selection_tool, "Extract": extract_tool,
+     "TreeView": treeview_tool}[args.tool](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

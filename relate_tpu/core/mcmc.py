@@ -96,20 +96,26 @@ def _rate_at(st: ChainStatic, b, t):
     return st.rates[b, e]
 
 
-def _prior_window(st: ChainStatic, b, cs, lo, hi):
+def _kc2_from_sorted(sorted_idx, N):
+    """Per-position C(num_lineages, 2) from the sorted leaf/internal
+    pattern — works for ancient samples (leaves at arbitrary positions).
+    For contemporary samples this equals the static 2N-1-p profile."""
+    leaf = (sorted_idx < N).astype(jnp.float32)
+    nl = jnp.cumsum(leaf) - jnp.cumsum(1.0 - leaf)
+    return nl * (nl - 1.0) * 0.5
+
+
+def _prior_window(st: ChainStatic, b, cs, lo, hi, kc2, leaf_pos):
     """-sum_{p in [lo, hi)} C(nl(p),2) * (R(cs[p+1]) - R(cs[p]))
-    + sum of log rate at event endpoints in (lo, hi]."""
+    + sum of log rate at coalescence endpoints in (lo, hi]."""
     M = cs.shape[0]
-    N = (M + 1) // 2
     p = jnp.arange(M - 1)
     mask = (p >= lo) & (p < hi)
     Ra = jax.vmap(lambda t: _rate_integral(st, b, t))(cs)
-    seg = st.kc2_pos[:-1] * (Ra[1:] - Ra[:-1])
+    seg = kc2[:-1] * (Ra[1:] - Ra[:-1])
     out = -jnp.where(mask, seg, 0.0).sum()
-    # + log(rate) at each *coalescence* endpoint within the window
-    # (contemporary samples: positions >= N are internal nodes)
     rate_end = jax.vmap(lambda t: _rate_at(st, b, t))(cs[1:])
-    logr = jnp.where(mask & (p + 1 >= N),
+    logr = jnp.where(mask & ~leaf_pos[1:],
                      jnp.log(jnp.maximum(rate_end, 1e-30)), 0.0).sum()
     return out + logr
 
@@ -201,15 +207,19 @@ def make_step_fn(N: int, M: int, use_vp: bool):
 
         lo = jnp.maximum(jnp.minimum(k, k_new) - 1, 0)
         hi = jnp.minimum(jnp.maximum(k, k_new) + 1, M - 1)
+        kc2_old = _kc2_from_sorted(sidx, N)
+        kc2_new = _kc2_from_sorted(sorted_new, N)
         if use_vp:
-            pr_new = _prior_window(st, b, cs_new, lo, hi)
-            pr_old = _prior_window(st, b, cs, lo, hi)
+            leaf_old = sidx < N
+            leaf_new = sorted_new < N
+            pr_new = _prior_window(st, b, cs_new, lo, hi, kc2_new, leaf_new)
+            pr_old = _prior_window(st, b, cs, lo, hi, kc2_old, leaf_old)
         else:
             p = jnp.arange(M - 1)
             mask = (p >= lo) & (p < hi)
-            pr_new = -jnp.where(mask, st.kc2_pos[:-1]
+            pr_new = -jnp.where(mask, kc2_new[:-1]
                                 * (cs_new[1:] - cs_new[:-1]), 0.0).sum()
-            pr_old = -jnp.where(mask, st.kc2_pos[:-1]
+            pr_old = -jnp.where(mask, kc2_old[:-1]
                                 * (cs[1:] - cs[:-1]), 0.0).sum()
         llr = pr_new - pr_old
         mut = (mr[node_k] - mr[c1] - mr[c2]) * delta
@@ -377,17 +387,57 @@ def _initial_order(tree: Tree, rng: np.random.Generator):
     return np.asarray(sorted_idx, dtype=np.int32), order
 
 
-def _initial_coords(sorted_idx: np.ndarray, N: int) -> np.ndarray:
+def _initial_coords(sorted_idx: np.ndarray, N: int,
+                    sample_ages=None) -> np.ndarray:
     """Coalescent-prior starting ages (InitializeBranchLengths,
-    branch_length_estimator.cpp:61-136, contemporary case)."""
+    branch_length_estimator.cpp:61-136); with sample ages, lineage counts
+    follow the sorted leaf/internal pattern and internal ages stack above
+    the running maximum."""
     M = len(sorted_idx)
     coords = np.zeros(M, dtype=np.float64)
+    if sample_ages is None:
+        cur = 0.0
+        for p in range(N, M):
+            nl = N if p == N else 2 * N - p
+            cur += 2.0 / (nl * (nl - 1.0))
+            coords[sorted_idx[p]] = cur
+        return coords
+    coords[:N] = sample_ages
     cur = 0.0
-    for p in range(N, M):
-        nl = N if p == N else 2 * N - p
-        cur += 2.0 / (nl * (nl - 1.0))
-        coords[sorted_idx[p]] = cur
+    nl = 0
+    for p in range(M):
+        v = sorted_idx[p]
+        if v < N:
+            nl += 1
+            cur = max(cur, coords[v])
+        else:
+            if nl >= 2:
+                cur = cur + 2.0 / (nl * (nl - 1.0))
+            else:
+                cur = cur + 1e-6
+            nl -= 1
+            coords[v] = cur
     return coords
+
+
+def _pseudo_order(tree: Tree, sample_ages: np.ndarray):
+    """InitializeOrder (branch_length_estimator.cpp:138-212): stack an
+    epsilon above each child along every leaf-to-root path, then argsort."""
+    M = tree.num_nodes
+    N = tree.N
+    eps = 1.0 / np.log(max(N, 3)) / 10.0
+    pseudo = np.zeros(M)
+    pseudo[:N] = sample_ages
+    for i in range(N):
+        k2 = i
+        while tree.parent[k2] >= 0:
+            k1, k2 = k2, int(tree.parent[k2])
+            if pseudo[k2] < pseudo[k1] + eps:
+                pseudo[k2] = np.nextafter(pseudo[k1] + eps, np.inf)
+    sorted_idx = np.lexsort((np.arange(M), pseudo)).astype(np.int32)
+    order = np.empty(M, dtype=np.int32)
+    order[sorted_idx] = np.arange(M)
+    return sorted_idx, order
 
 
 def branch_mut_rates(trees: List[Tree], dist: np.ndarray, L: int,
@@ -411,6 +461,7 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
              Ne: float = 3e4, mu: float = 1.25e-8, seed: int = 1,
              epochs: Optional[np.ndarray] = None,
              rates: Optional[np.ndarray] = None,
+             sample_ages: Optional[np.ndarray] = None,
              max_rounds: int = 2000) -> np.ndarray:
     """Estimate branch lengths for a batch of trees.
 
@@ -461,12 +512,20 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         kc2_pos=jnp.asarray(kc2, jnp.float32),
         epochs=epochs_d, rates=rates_d, cumR=cumR_d)
 
+    ages_n = None
+    if sample_ages is not None and np.any(np.asarray(sample_ages) != 0):
+        ages_n = np.asarray(sample_ages, dtype=np.float64) / Ne
+
     coords0 = np.empty((B, M), dtype=np.float32)
     order0 = np.empty((B, M), dtype=np.int32)
     sidx0 = np.empty((B, M), dtype=np.int32)
     for b, t in enumerate(trees):
-        si, o = _initial_order(t, rng)
-        coords0[b] = _initial_coords(si, N)
+        if ages_n is None:
+            si, o = _initial_order(t, rng)
+            coords0[b] = _initial_coords(si, N)
+        else:
+            si, o = _pseudo_order(t, ages_n)
+            coords0[b] = _initial_coords(si, N, ages_n)
         order0[b] = o
         sidx0[b] = si
 

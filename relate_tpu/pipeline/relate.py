@@ -144,13 +144,14 @@ def infer_branch_lengths(store: ArtifactStore, c: int, Ne: float = 3e4,
         Ne = avg_ne
         rates = rts * avg_ne
         epochs = np.asarray(epochs, dtype=np.float64) / avg_ne
+    ages = store.load_sample_ages(ch.N)
     for w in range(first_section, last_section + 1):
         anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
         trees = [mt.tree for mt in anc.seq]
         bl = mcmc.run_mcmc(trees, ch.dist.astype(np.float64), ch.L,
                            Ne=Ne, mu=mu,
                            seed=seed + 7919 * (c + 1) + w,
-                           epochs=epochs, rates=rates)
+                           epochs=epochs, rates=rates, sample_ages=ages)
         for i, mt in enumerate(anc.seq):
             mt.tree.branch_length = bl[i]
         ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"), anc)

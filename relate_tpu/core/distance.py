@@ -33,8 +33,7 @@ class RowState(NamedTuple):
     rpos_next: np.ndarray   # (N,) float64
 
 
-@jax.jit
-def _assemble(topology, logscale, rows, is_exact, wl, wr, kcol):
+def _assemble_ops(topology, logscale, rows, is_exact, wl, wr, kcol):
     """Batched GetMatrix.
 
     topology: (Dmax, B, N); logscale: (Dmax, B); rows: (B,) step index per
@@ -70,6 +69,9 @@ def _assemble(topology, logscale, rows, is_exact, wl, wr, kcol):
     mat = mat - rowmin[:, None]
     mat = mat.at[bidx, kcol].set(0.0)
     return mat
+
+
+_assemble = jax.jit(_assemble_ops)
 
 
 class DistanceAssembler:
@@ -113,15 +115,15 @@ class DistanceAssembler:
         rp[carriers] = self.rpos[snp]
         return RowState(row=row, rpos_prev=rp, rpos_next=state.rpos_next)
 
-    def get_matrix(self, paint_out, state: RowState, snp: int,
-                   is_first_or_last: bool) -> np.ndarray:
-        """Assemble the full N x N distance matrix at ``snp``."""
+    def matrix_inputs(self, state: RowState, snp: int,
+                      is_first_or_last: bool):
+        """Host-side per-SNP inputs for the assembly kernel:
+        (rows, is_exact, wl, wr), updating the stale rpos_next state."""
         N = self.N
         G = self.G
         derived = G[snp] == 1
         is_exact = derived | is_first_or_last
         rpos_next = state.rpos_next.copy()
-        # refresh stale rpos_next for interpolating rows
         for n in range(N):
             if not is_exact[n] and rpos_next[n] <= state.rpos_prev[n]:
                 nd = np.nonzero(G[snp:, n])[0]
@@ -134,11 +136,16 @@ class DistanceAssembler:
         safe = np.where(same, 1.0, denom)
         wl = np.where(same, 0.5, (rpos_next - self.rpos[snp]) / safe)
         wr = np.where(same, 0.5, (self.rpos[snp] - state.rpos_prev) / safe)
-        # exact rows don't use weights
+        return (state.row.astype(np.int32), is_exact,
+                wl.astype(np.float32), wr.astype(np.float32))
+
+    def get_matrix(self, paint_out, state: RowState, snp: int,
+                   is_first_or_last: bool) -> np.ndarray:
+        """Assemble the full N x N distance matrix at ``snp``."""
+        rows, is_exact, wl, wr = self.matrix_inputs(state, snp,
+                                                    is_first_or_last)
         mat = _assemble(paint_out.topology, paint_out.logscale,
-                        jnp.asarray(state.row, jnp.int32),
-                        jnp.asarray(is_exact),
-                        jnp.asarray(wl, jnp.float32),
-                        jnp.asarray(wr, jnp.float32),
+                        jnp.asarray(rows), jnp.asarray(is_exact),
+                        jnp.asarray(wl), jnp.asarray(wr),
                         jnp.asarray(paint_out.plan.targets, jnp.int32))
         return np.asarray(mat)

@@ -33,10 +33,14 @@ from typing import List, Optional
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from . import mapmutation
 from .distance import DistanceAssembler
 from .painting import Painter, Checkpoint
-from .treebuilder import quick_build, clade_prior_matrix, same_rpos_penalty
+from .treebuilder import (clade_prior_matrix, make_fused_rebuild,
+                          quick_build, same_rpos_penalty, tree_from_merges)
 from .trees import AncesTree, MarginalTree, Tree
 
 
@@ -96,6 +100,9 @@ def build_topology_section(painter: Painter, cp: Checkpoint,
 
     tree = build_first()
     leafmat = tree.leaf_matrix()
+    leafmat_dev = jnp.asarray(leafmat)
+    kcol_dev = jnp.asarray(np.arange(N, dtype=np.int32))
+    fused = make_fused_rebuild(painter.model.theta, N, mode, ancestral_state)
     muts: List[MutationRecord] = [MutationRecord() for _ in range(end - start + 1)]
     anc = AncesTree(N=N, seq=[MarginalTree(pos=start, tree=tree)])
 
@@ -164,25 +171,33 @@ def build_topology_section(painter: Painter, cp: Checkpoint,
         frc = bool(force[snp - start])
         prev_branch = rec.branch[0] if (im == 2 or (im == 1 and frc)) and rec.branch else -1
 
-        # build candidate tree
-        mat = assembler.get_matrix(paint, dstate, snp,
-                                   is_first_or_last=(snp == 0
-                                                     or snp == L - 1))
-        if not ancestral_state:
-            mat = 0.5 * (mat + mat.T)
-        if mode == 1:
+        # build candidate tree: distance assembly + penalties + previous
+        # tree's clade prior + merge scan fused in one device dispatch
+        if sample_ages is None:
+            rows, is_exact, wl, wr = assembler.matrix_inputs(
+                dstate, snp, (snp == 0 or snp == L - 1))
+            cis, cjs = fused(paint.topology, paint.logscale,
+                             jnp.asarray(rows), jnp.asarray(is_exact),
+                             jnp.asarray(wl), jnp.asarray(wr), kcol_dev,
+                             jnp.asarray(car[snp - start]), leafmat_dev,
+                             jax.random.PRNGKey(int(rng.integers(1 << 31))))
+            newtree = tree_from_merges(np.asarray(cis), np.asarray(cjs), N)
+        else:
+            # sample-ages variant: unfused path with the age-aware builder
+            mat = assembler.get_matrix(paint, dstate, snp,
+                                       is_first_or_last=(snp == 0
+                                                         or snp == L - 1))
+            if not ancestral_state:
+                mat = 0.5 * (mat + mat.T)
             theta = painter.model.theta
             mat = same_rpos_penalty(mat, [np.nonzero(car[snp - start])[0]],
                                     theta)
-            d_cf = clade_prior_matrix(tree, theta)
+            d_cf = clade_prior_matrix(tree, theta) if mode == 1 else None
             newtree = quick_build(mat, d_cf=d_cf, theta=theta,
                                   seed=int(rng.integers(1 << 31)),
                                   sample_ages=sample_ages)
-        else:
-            newtree = quick_build(mat, theta=painter.model.theta,
-                                  seed=int(rng.integers(1 << 31)),
-                                  sample_ages=sample_ages)
         new_leafmat = newtree.leaf_matrix()
+        new_leafmat_dev = jnp.asarray(new_leafmat)
         res_alt = mapmutation.map_mutations_block(
             newtree, new_leafmat, car[snp - start: snp - start + 1], rng_flip)
         ra = _row(res_alt, 0)
@@ -216,6 +231,7 @@ def build_topology_section(painter: Painter, cp: Checkpoint,
             anc.seq.append(MarginalTree(pos=snp, tree=newtree))
             tree = newtree
             leafmat = new_leafmat
+            leafmat_dev = new_leafmat_dev
             num_tree += 1
 
         s = snp + 1

@@ -176,15 +176,20 @@ def quick_build(d: np.ndarray, d_cf: Optional[np.ndarray] = None,
         jnp.asarray(d, jnp.float32), dcf_dev, key,
         jnp.float32(thr), jnp.float32(thr_cf),
         ages_dev, grid_dev, use_cf, use_ages)
-    cis = np.asarray(cis)
-    cjs = np.asarray(cjs)
+    return tree_from_merges(np.asarray(cis), np.asarray(cjs), N)
 
+
+def tree_from_merges(cis: np.ndarray, cjs: np.ndarray, N: int) -> Tree:
+    """Build the flat tree arrays from merge child lists."""
     M = 2 * N - 1
     parent = np.full(M, -1, dtype=np.int32)
-    for t in range(N - 1):
-        parent[cis[t]] = N + t
-        parent[cjs[t]] = N + t
-    cl, cr = children_from_parent(parent)
+    lab = np.arange(N - 1) + N
+    parent[cis] = lab
+    parent[cjs] = lab
+    cl = np.full(M, -1, dtype=np.int32)
+    cr = np.full(M, -1, dtype=np.int32)
+    cl[N:] = cis
+    cr[N:] = cjs
     return Tree(parent=parent, child_left=cl, child_right=cr)
 
 
@@ -221,3 +226,39 @@ def same_rpos_penalty(d: np.ndarray, carriers_sets, theta: float
         out[S, :] += val
         out[np.ix_(S, S)] -= val
     return out
+
+
+def make_fused_rebuild(theta: float, N: int, mode: int,
+                       ancestral_state: bool):
+    """One-dispatch rebuild kernel: distance assembly (GetMatrix) +
+    same-rpos carrier penalty + clade-consistency prior from the previous
+    tree's leaf matrix + the MinMatch merge scan, all fused under a single
+    jit. Returns fn(topology, logscale, rows, is_exact, wl, wr, kcol,
+    carriers, prev_leafmat, key) -> (child_i, child_j) merge lists.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .distance import _assemble_ops
+    thr, thr_cf = thresholds(theta)
+    val = -float(np.log(theta / (1.0 - theta)))
+    use_cf = mode == 1
+
+    def fn(topology, logscale, rows, is_exact, wl, wr, kcol, carriers,
+           prev_leafmat, key):
+        mat = _assemble_ops(topology, logscale, rows, is_exact, wl, wr, kcol)
+        if not ancestral_state:
+            mat = 0.5 * (mat + mat.T)
+        car = carriers.astype(jnp.float32)
+        mat = mat + val * car[:, None] * (1.0 - car[None, :])
+        if use_cf:
+            member = prev_leafmat[N:].astype(jnp.float32)
+            dcf = val * (member.T @ (1.0 - member))
+        else:
+            dcf = jnp.zeros_like(mat)
+        return _quick_build_scan(mat, dcf, key, jnp.float32(thr),
+                                 jnp.float32(thr_cf),
+                                 jnp.zeros(N, jnp.float32),
+                                 jnp.full(N - 1, np.inf, jnp.float32),
+                                 use_cf, False)
+
+    return jax.jit(fn)

@@ -87,15 +87,29 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
     ages = store.load_sample_ages(ch.N)
     rng = np.random.default_rng(seed + 1000003 * c)
     sec_seeds = rng.integers(1 << 31, size=W)
+    # the fully device-resident builder covers the default path; the
+    # host-driven builder handles sample ages / unknown-ancestral modes
+    use_device = ancestral_state and ages is None
+    kernel = None
     for w in range(first_section, last_section + 1):
         start = bounds[w]
         end = (bounds[w + 1] - 1) if w < W - 1 else ch.L - 1
         end = min(end, ch.L - 1)
         cp = load_checkpoint(store, c, w)
-        res = topology.build_topology_section(
-            painter, cp, ch.G, ch.rpos, ch.state, ch.bp,
-            start, end, seed=int(sec_seeds[w]), mode=mode,
-            ancestral_state=ancestral_state, fb=fb, sample_ages=ages)
+        if use_device:
+            from ..core import topology_device
+            if kernel is None:
+                kernel = topology_device.make_section_kernel(
+                    theta, ch.N, ch.L, mode)
+            res = topology_device.build_topology_section_device(
+                painter, cp, ch.G, ch.rpos, ch.state, ch.bp,
+                start, end, seed=int(sec_seeds[w]), mode=mode, fb=fb,
+                kernel=kernel)
+        else:
+            res = topology.build_topology_section(
+                painter, cp, ch.G, ch.rpos, ch.state, ch.bp,
+                start, end, seed=int(sec_seeds[w]), mode=mode,
+                ancestral_state=ancestral_state, fb=fb, sample_ages=ages)
         res.anc.sample_ages = ages
         ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),
                              res.anc)

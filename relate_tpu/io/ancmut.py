@@ -85,15 +85,36 @@ def _fmt_g5(x: float) -> str:
     return f"{x:.5f}"
 
 
-def write_anc_text(path: str, anc: AncesTree, num_trees: Optional[int] = None):
+def write_anc_text(path: str, anc: AncesTree,
+                   num_trees: Optional[int] = None,
+                   use_native: bool = True):
+    header = ""
+    if anc.sample_ages is None or len(anc.sample_ages) == 0:
+        header += f"NUM_HAPLOTYPES {anc.N}\n"
+    else:
+        header += (f"NUM_HAPLOTYPES {anc.N} "
+                   + " ".join(f"{a:f}" for a in anc.sample_ages) + " \n")
+    header += (f"NUM_TREES "
+               f"{num_trees if num_trees is not None else len(anc.seq)}\n")
+    if use_native and anc.seq:
+        try:
+            from ..native import write_anc_trees_native
+            T = len(anc.seq)
+            Mn = anc.seq[0].tree.num_nodes
+            pos = np.asarray([mt.pos for mt in anc.seq])
+            parents = np.stack([mt.tree.parent for mt in anc.seq])
+            bl = np.stack([mt.tree.branch_length for mt in anc.seq])
+            ne = np.stack([mt.tree.num_events for mt in anc.seq])
+            sb = np.stack([mt.tree.SNP_begin for mt in anc.seq])
+            se = np.stack([mt.tree.SNP_end for mt in anc.seq])
+            open(path, "w").close()   # truncate; native appends
+            if write_anc_trees_native(path, header, pos, parents, bl, ne,
+                                      sb, se):
+                return
+        except Exception:
+            pass
     with open(path, "w") as f:
-        if anc.sample_ages is None or len(anc.sample_ages) == 0:
-            f.write(f"NUM_HAPLOTYPES {anc.N}\n")
-        else:
-            f.write(f"NUM_HAPLOTYPES {anc.N} ")
-            f.write(" ".join(f"{a:f}" for a in anc.sample_ages))
-            f.write(" \n")
-        f.write(f"NUM_TREES {num_trees if num_trees is not None else len(anc.seq)}\n")
+        f.write(header)
         for mt in anc.seq:
             write_anc_tree_line(f, mt)
 

@@ -78,8 +78,20 @@ def read_sample(path: str) -> Tuple[int, List[str]]:
     return n, ids
 
 
-def read_haps(haps_path: str, sample_path: str) -> HapsData:
-    """Parse a .haps(.gz) + .sample(.gz) pair into a HapsData panel."""
+def read_haps(haps_path: str, sample_path: str,
+              use_native: bool = True) -> HapsData:
+    """Parse a .haps(.gz) + .sample(.gz) pair into a HapsData panel.
+
+    Uses the native zlib loader (relate_tpu.native) when available, falling
+    back to the pure-Python parser."""
+    if use_native:
+        try:
+            from ..native import read_haps_native
+            out = read_haps_native(haps_path, sample_path)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     N, _ = read_sample(sample_path)
     chroms: List[str] = []
     rsids: List[str] = []

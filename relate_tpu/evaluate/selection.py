@@ -229,3 +229,123 @@ def quality(anc: AncesTree, muts: List[MutationRecord]):
     return {"num_snps_on_tree": num_snps,
             "frac_branches_with_mut": frac_branches,
             "frac_not_mapping": frac_nm}
+
+
+def sds(anc: AncesTree, muts: List[MutationRecord], bp=None, rsid=None):
+    """SDS-like statistic (RelateSelection.cpp:816-1090): per usable SNP,
+    log((sum of ancestral tip branch lengths / sum of derived tip branch
+    lengths) * DAF) / (N - DAF)."""
+    N = anc.N
+    out = []
+    cur_tree = -1
+    tree = leafmat = tipbl = None
+    for snp, m in enumerate(muts):
+        if len(m.branch) != 1 or m.flipped:
+            out.append(None)
+            continue
+        b = m.branch[0]
+        if m.tree != cur_tree:
+            cur_tree = m.tree
+            tree = anc.seq[cur_tree].tree
+            leafmat = tree.leaf_matrix().astype(bool)
+            tipbl = tree.branch_length[:N]
+        if b < 0 or b == tree.root:
+            out.append(None)
+            continue
+        dmask = leafmat[b][:N]
+        daf = int(dmask.sum())
+        if daf == 0 or daf == N:
+            out.append(None)
+            continue
+        d_sds = float(tipbl[dmask].sum())
+        a_sds = float(tipbl[~dmask].sum())
+        if d_sds <= 0:
+            out.append(None)
+            continue
+        r = float(np.log((a_sds / d_sds) * daf) / (N - daf))
+        out.append({"snp": snp,
+                    "pos": int(bp[snp]) if bp is not None else snp,
+                    "rsid": rsid[snp] if rsid is not None else ".",
+                    "rSDS": r})
+    return out
+
+
+def write_sds(path: str, rows):
+    with open(path, "w") as f:
+        f.write("pos rs_id rSDS\n")
+        for r in rows:
+            if r is None:
+                continue
+            f.write(f"{r['pos']} {r['rsid']} {r['rSDS']:g}\n")
+
+
+def freq_diff(rows, N: int):
+    """FreqDiff (RelateSelection.cpp:1098-1330): per-epoch derived-fraction
+    changes (newest-first), -10 where undefined, plus a z-scored version
+    standardized within SNPs of the same present-day count.
+
+    rows: output of compute_freq_lin. Returns (diffs, zdiffs) lists aligned
+    with rows; each entry is (pos, rsid, diff array, fN)."""
+    diffs = []
+    E = None
+    for row in rows:
+        if row is None:
+            diffs.append(None)
+            continue
+        # reverse to newest-first and drop the anchor columns
+        f = row["freq"][::-1].astype(np.float64)
+        k = row["lin"][::-1].astype(np.float64)
+        E = len(f)
+        d = np.full(E - 1, -10.0)
+        ok = (f[1:] > 0) & (k[1:] > 0.1 * N)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            val = f[1:] / np.maximum(k[1:], 1e-30) \
+                - f[:-1] / np.maximum(k[:-1], 1e-30)
+        d[ok] = val[ok]
+        diffs.append({"pos": row["pos"], "rsid": row["rsid"], "diff": d,
+                      "fN": int(row["freq"][-1])})
+    # per-fN mean/sd over valid entries
+    stats = {}
+    for r in diffs:
+        if r is None:
+            continue
+        m = stats.setdefault(r["fN"], [np.zeros(E - 1), np.zeros(E - 1),
+                                       np.zeros(E - 1)])
+        ok = r["diff"] != -10
+        m[0][ok] += r["diff"][ok]
+        m[1][ok] += r["diff"][ok] ** 2
+        m[2][ok] += 1
+    zdiffs = []
+    for r in diffs:
+        if r is None or r["fN"] <= 1:
+            zdiffs.append(None)
+            continue
+        s, s2, c = stats[r["fN"]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(c > 0, s / np.maximum(c, 1), 0.0)
+            var = np.where(c > 1, (s2 - c * mean * mean)
+                           / np.maximum(c - 1, 1), 0.0)
+            sd = np.sqrt(np.maximum(var, 0.0))
+            z = np.where((r["diff"] != -10) & (sd > 0),
+                         (r["diff"] - mean) / np.where(sd > 0, sd, 1.0),
+                         np.nan)
+        zdiffs.append({"pos": r["pos"], "rsid": r["rsid"], "z": z,
+                       "fN": r["fN"]})
+    return diffs, zdiffs
+
+
+def write_freqdiff(prefix: str, diffs, zdiffs):
+    with open(prefix + ".freqdiff", "w") as f:
+        for r in diffs:
+            if r is None:
+                continue
+            f.write(f"{r['pos']} {r['rsid']} "
+                    + " ".join(f"{x:g}" for x in r["diff"])
+                    + f" {r['fN']}\n")
+    with open(prefix + ".zfreqdiff", "w") as f:
+        for r in zdiffs:
+            if r is None:
+                continue
+            f.write(f"{r['pos']} {r['rsid']} "
+                    + " ".join("NA" if np.isnan(x) else f"{x:g}"
+                               for x in r["z"]) + f" {r['fN']}\n")

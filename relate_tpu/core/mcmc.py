@@ -344,7 +344,8 @@ def make_step_fn(N: int, M: int, use_vp: bool):
 
 
 class _Block:
-    """Compiled fixed-length proposal blocks."""
+    """Compiled fixed-length proposal blocks + device-side convergence
+    check (one scalar per tree crosses the host link per round)."""
 
     def __init__(self, N, M, use_vp):
         self._step = make_step_fn(N, M, use_vp)
@@ -356,6 +357,18 @@ class _Block:
             s, _ = jax.lax.scan(body, s, jnp.arange(nsteps))
             return s
         self.run = jax.jit(run, static_argnames=("nsteps", "accumulate"))
+
+        def converged(st, s):
+            # per-tree: every internal node proposed >= 50 times AND the
+            # running-average ages are monotone along the tree
+            count_ok = s.cprop[:, N:].min(axis=1) >= 50
+            avg = s.ssum / jnp.maximum(s.count[:, None], 1.0)
+            par = jnp.maximum(st.parent, 0)
+            pav = jnp.take_along_axis(avg, par, axis=1)
+            node_ok = (avg <= pav + 1e-7) | (st.parent < 0)
+            mono = node_ok[:, N:].all(axis=1)
+            return count_ok & mono
+        self.converged = jax.jit(converged)
 
 
 def _initial_order(tree: Tree, rng: np.random.Generator):
@@ -544,24 +557,13 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     state = block.run(st, state, jax.random.fold_in(key, 0),
                       50 * delta, False)
 
-    # main loop with adaptive stop
-    count_ok = np.zeros(B, dtype=bool)
+    # main loop with adaptive stop; the check runs on device and only a
+    # boolean vector crosses the link per round
+    block_steps = max(delta, 128)
     for rnd in range(1, max_rounds + 1):
         state = block.run(st, state, jax.random.fold_in(key, rnd),
-                          delta, True)
-        cprop = np.asarray(state.cprop)
-        count_ok |= (cprop[:, N:].min(axis=1) >= 50)
-        if not count_ok.all():
-            continue
-        avg = np.asarray(state.ssum) / np.asarray(state.count)[:, None]
-        par = parent.copy()
-        par[par < 0] = 0
-        mono = np.ones(B, dtype=bool)
-        internal = np.arange(N, M - 1)
-        for b in range(B):
-            mono[b] = np.all(avg[b, internal]
-                             <= avg[b, parent[b, internal]] + 1e-7)
-        if mono.all():
+                          block_steps, True)
+        if bool(np.asarray(block.converged(st, state)).all()):
             break
 
     avg = np.asarray(state.ssum, dtype=np.float64) \

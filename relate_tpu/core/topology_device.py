@@ -168,19 +168,45 @@ def _merge_scan(d0, dcf0, use_cf, threshold, threshold_cf, key):
     return cis, cjs, clades
 
 
-def make_section_kernel(model_theta: float, N: int, L: int, mode: int):
+def _pallas_available(N: int) -> bool:
+    try:
+        from ..ops.merge_scan import HAVE_PALLAS
+    except Exception:
+        return False
+    return (HAVE_PALLAS and jax.default_backend() == "tpu"
+            and N <= 1024)
+
+
+def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
+                        use_pallas: bool | None = None):
     """Compile the full section builder as one jitted program.
 
     Tree outputs are emitted as per-step scan ys (flush flag + the closed
     tree's events + the new tree's merge lists), NOT carried buffers — scan
     ys are written in place, while large carry buffers updated inside
     lax.cond would be copied every step.
+
+    On TPU backends the merge scan runs as a fused Pallas kernel
+    (ops/merge_scan.py); elsewhere (or with use_pallas=False) the XLA
+    twin `_merge_scan` is used. Tie-break draws differ between the two
+    (seed-level noise either way).
     """
     M = 2 * N - 1
     thr_map = 0.03 * N
     threshold, threshold_cf = thresholds(model_theta)
     val = -float(np.log(model_theta / (1.0 - model_theta)))
     use_cf_mode = jnp.bool_(mode == 1)
+
+    if use_pallas is None:
+        use_pallas = _pallas_available(N)
+    if use_pallas:
+        from ..ops.merge_scan import merge_scan_pallas
+
+        def _ms(mat, dcf, ucf, thr, thrcf, k):
+            seed = jax.random.randint(k, (), 0, np.int32(2**31 - 1))
+            return merge_scan_pallas(mat, dcf, ucf, thr, thrcf, seed)
+    else:
+        _ms = _merge_scan
 
     def kernel(topology, logscale, row0, rpos_prev0, car_mat, state_vec,
                force_vec, rpos_vec, nxt_mat, snps, valid_vec, first_mat0,
@@ -228,7 +254,7 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int):
                 mat = mat + val * car_f[:, None] * (1.0 - car_f[None, :])
                 member = c.leafmat[N:]
                 dcf = val * (member.T @ (1.0 - member))
-                cis, cjs, clades = _merge_scan(
+                cis, cjs, clades = _ms(
                     mat, dcf, use_cf_mode, jnp.float32(threshold),
                     jnp.float32(threshold_cf), skey)
                 new_leafmat = jnp.concatenate(
@@ -272,7 +298,7 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int):
             return c2, rec
 
         # first tree: plain build from the start-SNP matrix
-        cis, cjs, clades = _merge_scan(
+        cis, cjs, clades = _ms(
             first_mat0, jnp.zeros_like(first_mat0), jnp.bool_(False),
             jnp.float32(threshold), jnp.float32(threshold_cf),
             jax.random.fold_in(key, 0))

@@ -18,3 +18,29 @@ reference C++ at MyersGroup/relate) as an idiomatic JAX/XLA/Pallas framework:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt out: RELATE_TPU_CACHE=0).
+
+    The painting/topology kernels take minutes to compile for a new panel
+    shape; caching makes repeat runs (and multi-process pipelines) start in
+    seconds."""
+    if _os.environ.get("RELATE_TPU_CACHE", "1") == "0":
+        return
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "RELATE_TPU_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "relate_tpu_jax"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

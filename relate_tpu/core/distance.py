@@ -77,10 +77,15 @@ _assemble = jax.jit(_assemble_ops)
 class DistanceAssembler:
     """Stateful per-window distance assembly, mirroring DistanceMeasure."""
 
-    def __init__(self, G: np.ndarray, rpos: np.ndarray):
+    def __init__(self, G: np.ndarray, rpos: np.ndarray,
+                 nxt: np.ndarray | None = None):
         self.G = G
         self.rpos = np.asarray(rpos, dtype=np.float64)
         self.L, self.N = G.shape
+        # optional precomputed (L, N) next-derived-rpos table
+        # (topology_device.next_derived_rpos); avoids O(L) per-target
+        # np.nonzero scans in matrix_inputs
+        self.nxt = nxt
 
     def init_state(self, plan, snp: int) -> RowState:
         """Row/rpos state at window entry (DistanceMeasure::Assign /
@@ -124,8 +129,11 @@ class DistanceAssembler:
         derived = G[snp] == 1
         is_exact = derived | is_first_or_last
         rpos_next = state.rpos_next.copy()
-        for n in range(N):
-            if not is_exact[n] and rpos_next[n] <= state.rpos_prev[n]:
+        stale = ~is_exact & (rpos_next <= state.rpos_prev)
+        if self.nxt is not None:
+            rpos_next[stale] = self.nxt[snp][stale]
+        else:
+            for n in np.nonzero(stale)[0]:
                 nd = np.nonzero(G[snp:, n])[0]
                 l = snp + nd[0] if len(nd) else self.L - 1
                 rpos_next[n] = self.rpos[l]

@@ -326,13 +326,10 @@ def next_derived_rpos(G: np.ndarray, rpos: np.ndarray) -> np.ndarray:
     last SNP) — the fresh-value equivalent of the reference's lazily
     refreshed v_rpos_next (anc_builder.cpp:139-147)."""
     L, N = G.shape
-    nxt = np.empty((L, N), dtype=np.float32)
-    cur = np.full(N, rpos[L - 1], dtype=np.float64)
-    for l in range(L - 1, -1, -1):
-        der = G[l] == 1
-        cur = np.where(der, rpos[l], cur)
-        nxt[l] = cur
-    return nxt
+    idx = np.where(G == 1, np.arange(L, dtype=np.int32)[:, None],
+                   np.int32(L - 1))
+    m = np.minimum.accumulate(idx[::-1], axis=0)[::-1]
+    return np.asarray(rpos, dtype=np.float64)[m].astype(np.float32)
 
 
 def build_topology_section_device(painter: Painter, cp: Checkpoint,
@@ -345,8 +342,9 @@ def build_topology_section_device(painter: Painter, cp: Checkpoint,
     L, N = G.shape
     S = end - start + 1
 
+    nxt_full = next_derived_rpos(G, rpos)
     paint = painter.repaint(cp)
-    assembler = DistanceAssembler(G, rpos)
+    assembler = DistanceAssembler(G, rpos, nxt=nxt_full)
     dstate = assembler.init_state(paint.plan, start)
 
     car = G[start:end + 1].astype(np.uint8).copy()
@@ -356,7 +354,7 @@ def build_topology_section_device(painter: Painter, cp: Checkpoint,
         idxs = np.arange(start + 1, end)
         force[idxs - start] = (bp[idxs + 1] // fb - bp[idxs] // fb) >= 1
 
-    nxt = next_derived_rpos(G, rpos)[start:end + 1]
+    nxt = nxt_full[start:end + 1]
     if kernel is None:
         kernel = make_section_kernel(painter.model.theta, N, L, mode)
 
@@ -391,8 +389,11 @@ def build_topology_section_device(painter: Painter, cp: Checkpoint,
         jnp.asarray(valid), jnp.asarray(mat0),
         jax.random.PRNGKey(seed))
 
-    flush, ev_flush, merges, im_arr, b_arr, fl_arr, t_arr = \
-        (np.asarray(x)[:S] for x in recs)
+    # download the small per-step records; gather the large flush-only
+    # arrays (events, merge lists) on device first — only ~num_tree of the
+    # SP rows are meaningful, and host<->device bandwidth is precious
+    flush = np.asarray(recs[0])[:S]
+    im_arr, b_arr, fl_arr, t_arr = (np.asarray(x)[:S] for x in recs[3:7])
     first_merges = np.asarray(first_merges)
     last_events = np.asarray(last_events)
     num_tree = int(num_tree)
@@ -402,8 +403,13 @@ def build_topology_section_device(painter: Painter, cp: Checkpoint,
     # final carry for the last tree)
     flush_steps = np.nonzero(flush)[0]
     assert len(flush_steps) == num_tree - 1, (len(flush_steps), num_tree)
-    merge_list = [first_merges] + [merges[i] for i in flush_steps]
-    event_list = [ev_flush[i] for i in flush_steps] + [last_events]
+    fs_dev = jnp.asarray(flush_steps, jnp.int32)
+    ev_flush_f = np.asarray(jnp.take(recs[1], fs_dev, axis=0))
+    merges_f = np.asarray(jnp.take(recs[2], fs_dev, axis=0))
+    merge_list = [first_merges] + [merges_f[k]
+                                   for k in range(len(flush_steps))]
+    event_list = [ev_flush_f[k] for k in range(len(flush_steps))] \
+        + [last_events]
     pos_list = [start] + [start + int(i) for i in flush_steps]
 
     seq = []

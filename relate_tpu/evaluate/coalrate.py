@@ -194,6 +194,24 @@ def read_coal(path: str):
 # EM driver (EstimatePopulationSize.sh)
 # ---------------------------------------------------------------------------
 
+def filled_rates(counts: np.ndarray, opp: np.ndarray) -> np.ndarray:
+    """Whole-sample per-epoch rates with the reference's gap convention
+    (coal_tree::Dump, coal_tree.cpp:311-327): rate = counts/opportunity;
+    where an epoch has NO opportunity the previous epoch's rate is carried
+    forward (epoch 0 stays 0). Epochs with opportunity but no events keep
+    rate 0."""
+    num = counts.sum(axis=tuple(range(1, counts.ndim)))
+    den = opp.sum(axis=tuple(range(1, opp.ndim)))
+    E = len(num)
+    out = np.zeros(E)
+    for i in range(E):
+        if den[i] > 0:
+            out[i] = num[i] / den[i]
+        elif i > 0:
+            out[i] = out[i - 1]
+    return out
+
+
 def estimate_popsize_em(anc: AncesTree, muts: List[MutationRecord],
                         dist: np.ndarray, mu: float = 1.25e-8,
                         years_per_gen: float = 28.0,
@@ -203,41 +221,41 @@ def estimate_popsize_em(anc: AncesTree, muts: List[MutationRecord],
                         verbose: bool = False):
     """Joint branch-length / coalescence-rate EM.
 
-    Iterates: (1) per-epoch rates from the current branch lengths;
-    (2) re-run the branch-length MCMC under the piecewise-rate prior
-    (ReEstimateBranchLengths <-> EstimatePopulationSize, default 10
-    iterations). Mutates ``anc`` in place; returns (epochs, rates (E,G,G)).
+    Mirrors EstimatePopulationSize.sh's loop: per-epoch rates from the
+    current branch lengths (CoalRateForTree + Dump fill), then ONE
+    posterior *draw* of branch lengths under that prior
+    (SampleBranchLengths --num_samples 1) — a draw, not the posterior
+    mean, so the age spread (and hence the next rate estimate) is
+    unbiased. Mutates ``anc`` in place (trees carry the last draw);
+    returns (epochs, pairwise rates (E, G, G), whole-sample filled rates).
     """
+    from . import sampling
+
     if epochs is None:
         epochs = default_epochs(years_per_gen)
-    L = len(muts)
     spans = tree_spans(anc, muts, dist)
     trees = [mt.tree for mt in anc.seq]
 
+    counts, opp = coalescence_stats(trees, spans, epochs)
+    coal = filled_rates(counts, opp)
     for it in range(num_iter):
-        counts, opp = coalescence_stats(trees, spans, epochs, group_of_hap)
-        rates = finalize_rates(counts, opp)
-        whole = finalize_rates(counts.sum(axis=(1, 2)), opp.sum(axis=(1, 2)))
         if verbose:
-            ne = 0.5 / np.nanmean(whole)
+            pos = coal[coal > 0]
+            ne = 0.5 / pos.mean() if len(pos) else float("nan")
             print(f"[em] iter {it}: mean Ne ~ {ne:.0f}")
-        # normalize into coalescent units (InferBranchLengths.cpp:86-152)
-        pos = whole[np.isfinite(whole) & (whole > 0)]
-        if len(pos) == 0:
+        if not (coal > 0).any():
             break
-        avg_ne = 1.0 / pos.mean()
-        r_norm = np.where(np.isfinite(whole) & (whole > 0), whole, 0.0) \
-            * avg_ne
-        e_norm = epochs / avg_ne
-        bl = mcmc.run_mcmc(trees, dist.astype(np.float64), L,
-                           Ne=avg_ne, mu=mu, seed=seed + it,
-                           epochs=e_norm, rates=r_norm)
+        draws = sampling.sample_branch_lengths(
+            anc, muts, dist, mu, epochs, coal, num_samples=1,
+            seed=seed + it)
         for i, mt in enumerate(anc.seq):
-            mt.tree.branch_length = bl[i]
+            mt.tree.branch_length = draws[0, i]
+        counts, opp = coalescence_stats(trees, spans, epochs)
+        coal = filled_rates(counts, opp)
 
-    counts, opp = coalescence_stats(trees, spans, epochs, group_of_hap)
-    rates = finalize_rates(counts, opp)
-    return epochs, rates
+    counts_g, opp_g = coalescence_stats(trees, spans, epochs, group_of_hap)
+    rates = finalize_rates(counts_g, opp_g)
+    return epochs, rates, coal
 
 
 # ---------------------------------------------------------------------------

@@ -71,19 +71,23 @@ def estimate_population_size(input_prefix: str, output_prefix: str,
         names = pl.groups
     epochs = coalrate.epochs_from_bins(*bins, years_per_gen) if bins \
         else coalrate.default_epochs(years_per_gen)
-    epochs, rates = coalrate.estimate_popsize_em(
+    epochs, rates, whole = coalrate.estimate_popsize_em(
         anc, recs, dist, mu=mu, epochs=epochs, num_iter=num_iter,
         seed=seed, group_of_hap=group_of_hap, verbose=verbose)
-    whole = coalrate.finalize_rates(
-        *[x.sum(axis=(1, 2)) for x in coalrate.coalescence_stats(
-            [mt.tree for mt in anc.seq],
-            coalrate.tree_spans(anc, recs, dist), epochs, None)])
     coalrate.write_coal(output_prefix + ".coal", epochs, whole, ["0"])
     if group_of_hap is not None:
         coalrate.write_coal(output_prefix + ".pairwise.coal", epochs,
                             rates, names)
     if reestimate_final:
-        _dump_pair(output_prefix, anc, recs, bp, dist, rsid, alleles)
+        # final pass mirrors the .sh: posterior-MEAN re-estimate of the
+        # ORIGINAL (unfiltered) trees under the final .coal
+        anc_f, recs_f, bp_f, dist_f, rsid_f, alleles_f = \
+            _load_pair(input_prefix)
+        sampling.reestimate_branch_lengths(anc_f, recs_f, dist_f, mu,
+                                           epochs, whole,
+                                           seed=seed + num_iter)
+        _dump_pair(output_prefix, anc_f, recs_f, bp_f, dist_f, rsid_f,
+                   alleles_f)
     return epochs, rates
 
 

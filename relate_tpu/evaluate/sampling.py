@@ -111,7 +111,7 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
     state = block.run(st, state, jax.random.fold_in(key, 0),
                       50 * delta, False)
     for rnd in range(1, 2000):
-        state = block.run(st, state, jax.random.fold_in(key, -rnd),
+        state = block.run(st, state, jax.random.fold_in(key, 1_000_000 + rnd),
                           max(delta, 128), True)
         if bool(np.asarray(block.converged(st, state)).all()):
             break

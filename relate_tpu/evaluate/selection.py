@@ -334,18 +334,33 @@ def freq_diff(rows, N: int):
     return diffs, zdiffs
 
 
-def write_freqdiff(prefix: str, diffs, zdiffs):
+def write_freqdiff(prefix: str, diffs, zdiffs, epochs=None):
+    """Write .freqdiff/.zfreqdiff in the reference's layout
+    (RelateSelection.cpp FreqDiff): header row of epoch boundaries in
+    generations OLDEST-first (float32-printed), one row per usable SNP
+    with the per-epoch diffs oldest-first, then the present-day derived
+    count (TreeFreq)."""
+    header = None
+    if epochs is not None:
+        header = ("pos rs_id "
+                  + " ".join(f"{x:f}" for x in
+                             np.asarray(epochs, np.float32)[::-1])
+                  + " TreeFreq\n")
     with open(prefix + ".freqdiff", "w") as f:
+        if header:
+            f.write(header)
         for r in diffs:
             if r is None:
                 continue
             f.write(f"{r['pos']} {r['rsid']} "
-                    + " ".join(f"{x:g}" for x in r["diff"])
+                    + " ".join(f"{x:g}" for x in r["diff"][::-1])
                     + f" {r['fN']}\n")
     with open(prefix + ".zfreqdiff", "w") as f:
+        if header:
+            f.write(header)
         for r in zdiffs:
             if r is None:
                 continue
             f.write(f"{r['pos']} {r['rsid']} "
                     + " ".join("NA" if np.isnan(x) else f"{x:g}"
-                               for x in r["z"]) + f" {r['fN']}\n")
+                               for x in r["z"][::-1]) + f" {r['fN']}\n")

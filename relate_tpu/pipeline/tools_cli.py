@@ -121,6 +121,13 @@ def selection_tool(args):
                 f.write(f"{t} {q['num_snps_on_tree'][t]:g} "
                         f"{q['frac_branches_with_mut'][t]:g} "
                         f"{q['frac_not_mapping'][t]:g}\n")
+    elif args.mode == "SDS":
+        rows = selection.sds(anc, recs, bp, rsid)
+        selection.write_sds(args.output + ".sds", rows)
+    elif args.mode == "FreqDiff":
+        rows = selection.compute_freq_lin(anc, recs, epochs, bp, rsid)
+        diffs, zdiffs = selection.freq_diff(rows, anc.N)
+        selection.write_freqdiff(args.output, diffs, zdiffs, epochs)
     else:
         raise SystemExit(f"unknown mode {args.mode}")
 

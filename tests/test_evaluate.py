@@ -75,3 +75,49 @@ def test_selection_scan_matches_reference(golden_dir, final_pair):
         gold = np.asarray([float(x) for x in gs[row["pos"]]])
         np.testing.assert_allclose(mine, gold, atol=1e-4)
     assert ncmp > 500
+
+
+@pytest.mark.golden
+def test_sds_matches_reference(golden_dir, final_pair):
+    """rSDS vs RelateSelection --mode SDS on identical input: the compared
+    prefix is byte-identical (fixture: first 2000 lines of ref output)."""
+    anc, recs, bp, dist, rsid = final_pair
+    rows = selection.sds(anc, recs, bp, rsid)
+    gold = {}
+    with open(golden_dir / "ref_sds_head.SDS") as f:
+        f.readline()
+        for line in f:
+            p = line.split()
+            gold[int(p[0])] = p[2]
+    ncmp = 0
+    for r in rows:
+        if r is None or r["pos"] not in gold:
+            continue
+        assert f"{r['rSDS']:g}" == gold[r["pos"]], r
+        ncmp += 1
+    assert ncmp > 1500
+
+
+@pytest.mark.golden
+def test_freqdiff_matches_reference(golden_dir, final_pair):
+    """Per-epoch frequency diffs vs RelateSelection --mode FreqDiff
+    (data rows byte-identical; header epoch ages differ by float32
+    rounding of the reference's float log10)."""
+    anc, recs, bp, dist, rsid = final_pair
+    epochs = coalrate.default_epochs(28.0)
+    rows = selection.compute_freq_lin(anc, recs, epochs, bp, rsid)
+    diffs, zdiffs = selection.freq_diff(rows, anc.N)
+    gold = {}
+    with open(golden_dir / "ref_freqdiff_head") as f:
+        f.readline()
+        for line in f:
+            p = line.split()
+            gold[int(p[0])] = p[2:]
+    ncmp = 0
+    for r in diffs:
+        if r is None or r["pos"] not in gold:
+            continue
+        mine = [f"{x:g}" for x in r["diff"][::-1]] + [str(r["fN"])]
+        assert mine == gold[r["pos"]], r["pos"]
+        ncmp += 1
+    assert ncmp > 150

@@ -28,19 +28,27 @@ def main():
     from relate_tpu.core import painting
     from relate_tpu.utils import synth
 
+    import jax
+
     G, bp = synth.synth_panel(N, L)
     r = np.full(L, 2500 * 0.5e-8 * 500)
     model = painting.PaintingModel(N=N, theta=0.001)
     painter = painting.Painter(G, r, model)
     cps = painter.paint_stepping_stones(np.array([0, L]))
 
-    # warm up (compile), then measure
+    # a dependent scalar reduction forces the device chain to finish —
+    # block_until_ready alone under-reports through the axon tunnel
+    force = jax.jit(lambda x: x.sum())
+
+    # warm up (compile), then measure amortized over reps
     out = painter.repaint(cps[0])
-    out.topology.block_until_ready()
+    float(force(out.topology))
+    reps = 5
     t0 = time.time()
-    out = painter.repaint(cps[0])
-    out.topology.block_until_ready()
-    elapsed = time.time() - t0
+    for _ in range(reps):
+        out = painter.repaint(cps[0])
+    float(force(out.topology))
+    elapsed = (time.time() - t0) / reps
 
     value = L / elapsed
     print(json.dumps({

@@ -96,17 +96,24 @@ class DistanceAssembler:
         rpos_prev[n] = rpos at the last true-derived site of n <= snp (or 0).
         """
         N = self.N
-        row = np.zeros(N, dtype=np.int64)
-        rpos_prev = np.empty(N, dtype=np.float64)
-        for n in range(N):
-            # derived steps of n within the plan, position of snp
-            steps = plan.idx[n, : plan.D[n]]
-            row[n] = int(np.searchsorted(steps, snp, side="right")) - 1
-            # last true-derived site <= snp (tsnp > 0 loop)
-            tsnp = snp
-            while tsnp > 0 and self.G[tsnp, n] != 1:
-                tsnp -= 1
-            rpos_prev[n] = self.rpos[tsnp]
+        # row[n] = index of the last plan step <= snp. Steps of n are
+        # {first_n} u {derived sites in (first_n, last_n)} u {last_n} and
+        # snp is inside [first_n, last_n), so this is the count of derived
+        # sites of n in (first_n, snp] — computed from prefix counts, with
+        # no per-target searchsorted (plan.idx may live on device).
+        first = np.asarray(plan.idx[:, 0]).astype(np.int64)
+        lo = int(first.min())
+        seg = np.zeros((snp + 2 - lo, N), dtype=np.int32)
+        np.cumsum(self.G[lo:snp + 1] != 0, axis=0, out=seg[1:])
+        cols = np.arange(N)
+        row = (seg[snp + 1 - lo, cols]
+               - seg[first + 1 - lo, cols]).astype(np.int64)
+        # last true-derived site <= snp per target (reference's tsnp loop,
+        # anc_builder.cpp:31-38), as one masked running max
+        posmax = np.where(self.G[:snp + 1] == 1,
+                          np.arange(snp + 1, dtype=np.int64)[:, None], 0)
+        tsnp = posmax.max(axis=0)
+        rpos_prev = self.rpos[tsnp]
         return RowState(row=row, rpos_prev=rpos_prev,
                         rpos_next=rpos_prev.copy())
 

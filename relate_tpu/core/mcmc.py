@@ -60,6 +60,15 @@ class ChainStatic(NamedTuple):
     epochs: jnp.ndarray       # (E,) f32 boundaries (epochs[0]=0)
     rates: jnp.ndarray        # (B, E) f32 rate in [epochs[i], epochs[i+1])
     cumR: jnp.ndarray         # (B, E) f32 integral of rate up to boundary
+    # pairwise group-rate prior (MCMCCoalRatesForRelate): per-node leaf
+    # group fractions and per-epoch G x G rate matrices. The reference's
+    # per-node-pair rate (branch_length_estimator.cpp:4052-4070) is exactly
+    # the bilinear form f_i^T R_e f_j, so per-level intensities reduce to
+    # S^T R S with S the active-lineage fraction sum (O(G^2) per level
+    # instead of O(N^2)).
+    F: Optional[jnp.ndarray] = None        # (B, M, G) f32 group fractions
+    Rg: Optional[jnp.ndarray] = None       # (E, G, G) f32 rates per epoch
+    cumIRg: Optional[jnp.ndarray] = None   # (E, G, G) f32 integral to epoch
 
 
 class ChainState(NamedTuple):
@@ -120,7 +129,62 @@ def _prior_window(st: ChainStatic, b, cs, lo, hi, kc2, leaf_pos):
     return out + logr
 
 
-def make_step_fn(N: int, M: int, use_vp: bool):
+def _pair_epoch(st: ChainStatic, t):
+    e = jnp.searchsorted(st.epochs, t, side="right") - 1
+    return jnp.clip(e, 0, st.Rg.shape[0] - 1)
+
+
+def _pair_IR(st: ChainStatic, t):
+    """(G, G) integral of the per-epoch rate matrices from 0 to t."""
+    e = _pair_epoch(st, t)
+    return st.cumIRg[e] + st.Rg[e] * (t - st.epochs[e])
+
+
+def _prior_window_pair(st: ChainStatic, b, N, cs, sidx, lo, hi):
+    """Pairwise-group-rate twin of :func:`_prior_window`
+    (CalculatePrior with coal_rate_pair, branch_length_estimator.cpp:1159).
+
+    Level p (between sorted events p and p+1) has intensity
+    ``0.5*(S_p^T R_e S_p - <D_p, R_e>)`` with S_p the sum and D_p the sum of
+    outer products of the active lineages' group-fraction vectors; both are
+    cumulative sums along the sorted order (a leaf joins, an internal node
+    replaces its two children). The epoch-crossing time integral uses the
+    precomputed cumulative-rate matrices. Coalescence events add
+    ``log f_cl^T R_e f_cr``.
+    """
+    F = st.F[b]
+    cl = st.child_left[b]
+    cr = st.child_right[b]
+    fv = F[sidx]                                    # (M, G)
+    f1 = F[cl[sidx]]
+    f2 = F[cr[sidx]]
+    leaf = (sidx < N)[:, None]
+    inc = jnp.where(leaf, fv, fv - f1 - f2)
+    S = jnp.cumsum(inc, axis=0)                     # (M, G) after event p
+    o_v = fv[:, :, None] * fv[:, None, :]
+    o_1 = f1[:, :, None] * f1[:, None, :]
+    o_2 = f2[:, :, None] * f2[:, None, :]
+    Dinc = jnp.where(leaf[:, :, None], o_v, o_v - o_1 - o_2)
+    D = jnp.cumsum(Dinc, axis=0)                    # (M, G, G)
+
+    IRa = jax.vmap(lambda t: _pair_IR(st, t))(cs)   # (M, G, G)
+    dIR = IRa[1:] - IRa[:-1]
+    lam = 0.5 * (jnp.einsum("pg,pgh,ph->p", S[:-1], dIR, S[:-1])
+                 - jnp.einsum("pgh,pgh->p", D[:-1], dIR))
+    M_ = cs.shape[0]
+    p = jnp.arange(M_ - 1)
+    mask = (p >= lo) & (p < hi)
+    out = -jnp.where(mask, lam, 0.0).sum()
+    # event terms: coalescences at sorted positions p+1 in (lo, hi]
+    ev = sidx[1:]
+    Re = st.Rg[jax.vmap(lambda t: _pair_epoch(st, t))(cs[1:])]  # (M-1,G,G)
+    rate_ev = jnp.einsum("pg,pgh,ph->p", F[cl[ev]], Re, F[cr[ev]])
+    logr = jnp.where(mask & (ev >= N),
+                     jnp.log(jnp.maximum(rate_ev, 1e-30)), 0.0).sum()
+    return out + logr
+
+
+def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
     """One MCMC proposal, vmapped over the tree batch."""
 
     def update_one_event(st: ChainStatic, s: ChainState, b, node_k, keys):
@@ -151,7 +215,21 @@ def make_step_fn(N: int, M: int, use_vp: bool):
             jnp.log(tau_old_r / tau_new_r)
             + (tau_new_r / tau_old_r - tau_old_r / tau_new_r),
             jnp.log(1.0 / jnp.maximum(tau_new_r, 1e-30)) + tau_new_r)
-        if use_vp:
+        if use_pair:
+            # top level holds only the root's two children; its intensity is
+            # their pair rate f_c1^T R f_c2 (branch_length_estimator.cpp:613)
+            fc1 = st.F[b][c1]
+            fc2 = st.F[b][c2]
+            rootc = coords[node_k]
+            bi = lambda Mx: fc1 @ Mx @ fc2
+            llr_r = llr_r + (
+                -(bi(_pair_IR(st, rootc + delta_r)) - bi(_pair_IR(st, cmax)))
+                + jnp.log(jnp.maximum(
+                    bi(st.Rg[_pair_epoch(st, rootc + delta_r)]), 1e-30))
+                + (bi(_pair_IR(st, rootc)) - bi(_pair_IR(st, cmax)))
+                - jnp.log(jnp.maximum(
+                    bi(st.Rg[_pair_epoch(st, rootc)]), 1e-30)))
+        elif use_vp:
             cs_old = coords[sidx]
             rootc = coords[node_k]
             llr_r = llr_r + (
@@ -209,7 +287,10 @@ def make_step_fn(N: int, M: int, use_vp: bool):
         hi = jnp.minimum(jnp.maximum(k, k_new) + 1, M - 1)
         kc2_old = _kc2_from_sorted(sidx, N)
         kc2_new = _kc2_from_sorted(sorted_new, N)
-        if use_vp:
+        if use_pair:
+            pr_new = _prior_window_pair(st, b, N, cs_new, sorted_new, lo, hi)
+            pr_old = _prior_window_pair(st, b, N, cs, sidx, lo, hi)
+        elif use_vp:
             leaf_old = sidx < N
             leaf_new = sorted_new < N
             pr_new = _prior_window(st, b, cs_new, lo, hi, kc2_new, leaf_new)
@@ -318,7 +399,11 @@ def make_step_fn(N: int, M: int, use_vp: bool):
             node_so = N + jnp.minimum(
                 (jax.random.uniform(ks[1]) * (M - N - 1)).astype(jnp.int32),
                 M - N - 2)
-            do_ue = u <= P2
+            # the reference's pairwise-rate chain proposes UpdateOneEventVP
+            # only (p2 = 1.0, branch_length_estimator.cpp:4075) — SwitchOrder
+            # would not cancel in the prior when rates depend on which pair
+            # coalesces
+            do_ue = u <= (1.0 if use_pair else P2)
 
             c_ue, o_ue, si_ue = update_one_event(st, s, b, node_ue, ks[2:])
             c_so, o_so, si_so = switch_order(st, s, b, node_so, ks[2:])
@@ -347,8 +432,8 @@ class _Block:
     """Compiled fixed-length proposal blocks + device-side convergence
     check (one scalar per tree crosses the host link per round)."""
 
-    def __init__(self, N, M, use_vp):
-        self._step = make_step_fn(N, M, use_vp)
+    def __init__(self, N, M, use_vp, use_pair=False):
+        self._step = make_step_fn(N, M, use_vp, use_pair)
 
         def run(st, s, key, nsteps, accumulate):
             def body(s, i):
@@ -470,16 +555,51 @@ def branch_mut_rates(trees: List[Tree], dist: np.ndarray, L: int,
     return out
 
 
+def group_fractions(trees: List[Tree], memberships: np.ndarray,
+                    num_groups: int) -> np.ndarray:
+    """(B, M, G) per-node leaf group-fraction vectors
+    (branch_length_estimator.cpp:4061-4066 computes the equivalent
+    node-pair means leaf-pair by leaf-pair)."""
+    B = len(trees)
+    N = trees[0].N
+    M = trees[0].num_nodes
+    memberships = np.asarray(memberships, dtype=np.int64)
+    out = np.zeros((B, M, num_groups), dtype=np.float32)
+    eye = np.eye(num_groups, dtype=np.float64)
+    for b, t in enumerate(trees):
+        cnt = np.zeros((M, num_groups), dtype=np.float64)
+        cnt[:N] = eye[memberships]
+        parent = t.parent
+        nch = np.zeros(M, dtype=np.int64)
+        stack = list(range(N))       # push counts up, parents after children
+        while stack:
+            v = stack.pop()
+            p = parent[v]
+            if p < 0:
+                continue
+            cnt[p] += cnt[v]
+            nch[p] += 1
+            if nch[p] == 2:
+                stack.append(int(p))
+        out[b] = cnt / np.maximum(cnt.sum(axis=1, keepdims=True), 1.0)
+    return out
+
+
 def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
              Ne: float = 3e4, mu: float = 1.25e-8, seed: int = 1,
              epochs: Optional[np.ndarray] = None,
              rates: Optional[np.ndarray] = None,
              sample_ages: Optional[np.ndarray] = None,
+             group_R: Optional[np.ndarray] = None,
+             memberships: Optional[np.ndarray] = None,
              max_rounds: int = 2000) -> np.ndarray:
     """Estimate branch lengths for a batch of trees.
 
     epochs/rates: optional piecewise coalescence-rate prior in units of Ne
     generations (epochs ascending starting at 0); constant-Ne prior if None.
+    group_R/memberships: optional pairwise group-rate prior — group_R is
+    (E, G, G) rates per epoch (same Ne units) and memberships the (N,)
+    group index per haplotype (MCMCCoalRatesForRelate).
     Returns branch lengths (B, M) in generations.
     """
     B = len(trees)
@@ -488,7 +608,8 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     delta = int(max(N / 10.0, 10.0))
     rng = np.random.default_rng(seed)
 
-    use_vp = epochs is not None
+    use_pair = group_R is not None
+    use_vp = epochs is not None and not use_pair
     if use_vp:
         # one rate per boundary; interval i = [epochs[i], epochs[i+1]),
         # the last extending to infinity (.coal convention)
@@ -501,10 +622,27 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         epochs_d = jnp.asarray(ep, jnp.float32)
         rates_d = jnp.asarray(rt, jnp.float32)
         cumR_d = jnp.asarray(cumR, jnp.float32)
+    elif use_pair:
+        ep = np.asarray(epochs, dtype=np.float64)
+        epochs_d = jnp.asarray(ep, jnp.float32)
+        rates_d = jnp.ones((B, 1), jnp.float32)
+        cumR_d = jnp.zeros((B, 1), jnp.float32)
     else:
         epochs_d = jnp.asarray([0.0], jnp.float32)
         rates_d = jnp.ones((B, 1), jnp.float32)
         cumR_d = jnp.zeros((B, 1), jnp.float32)
+
+    F_d = Rg_d = cumIRg_d = None
+    if use_pair:
+        Rgm = np.asarray(group_R, dtype=np.float64)     # (E, G, G)
+        E, G = Rgm.shape[0], Rgm.shape[1]
+        assert E == len(np.asarray(epochs)), "group_R epochs mismatch"
+        cumIR = np.zeros((E, G, G))
+        widths = np.diff(np.asarray(epochs, dtype=np.float64))
+        cumIR[1:] = np.cumsum(Rgm[: E - 1] * widths[:, None, None], axis=0)
+        F_d = jnp.asarray(group_fractions(trees, memberships, G))
+        Rg_d = jnp.asarray(Rgm, jnp.float32)
+        cumIRg_d = jnp.asarray(cumIR, jnp.float32)
 
     # position-indexed C(nl,2) (contemporary samples)
     nl = np.concatenate([np.full(N, N), 2 * N - 1 - np.arange(N, 2 * N - 1)])
@@ -523,7 +661,8 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         num_events=jnp.asarray(nev, jnp.float32),
         mut_rate=jnp.asarray(mrate, jnp.float32),
         kc2_pos=jnp.asarray(kc2, jnp.float32),
-        epochs=epochs_d, rates=rates_d, cumR=cumR_d)
+        epochs=epochs_d, rates=rates_d, cumR=cumR_d,
+        F=F_d, Rg=Rg_d, cumIRg=cumIRg_d)
 
     ages_n = None
     if sample_ages is not None and np.any(np.asarray(sample_ages) != 0):
@@ -550,7 +689,7 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         count=jnp.zeros((B,), jnp.float32),
         cprop=jnp.zeros((B, M), jnp.int32))
 
-    block = _Block(N, M, use_vp)
+    block = _Block(N, M, use_vp, use_pair)
     key = jax.random.PRNGKey(seed)
 
     # transient

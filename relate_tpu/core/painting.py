@@ -32,6 +32,8 @@ activation checkpointing / remat.
 """
 from __future__ import annotations
 
+import functools
+import os
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
@@ -114,29 +116,36 @@ def build_target_plan(G: np.ndarray, r: np.ndarray, model: PaintingModel,
     S = np.zeros(L + 1, dtype=np.float64)
     np.cumsum(r, out=S[1:])
 
-    idx_list = []
-    for b, k in enumerate(targets):
-        first, last = int(first_arr[b]), int(last_arr[b])
-        inner = first + 1 + np.nonzero(G[first + 1:last, k])[0]
-        idx_list.append(np.concatenate([[first], inner, [last]]))
-    D = np.asarray([len(x) for x in idx_list], dtype=np.int32)
+    # Vectorized ragged derived-site extraction (no per-target Python loop):
+    # one nonzero over the masked (B, L) panel slice, scattered into a padded
+    # (B, Dmax) index matrix via per-row ranks.
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    inner_mask = ((G.T[targets] != 0)
+                  & (pos > first_arr[:, None]) & (pos < last_arr[:, None]))
+    rows, cols = np.nonzero(inner_mask)
+    counts = np.bincount(rows, minlength=B).astype(np.int64)
+    starts = np.zeros(B, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    D = (counts + 2).astype(np.int32)
     Dmax = int(D.max())
-    idx = np.empty((B, Dmax), dtype=np.int64)
-    for b in range(B):
-        idx[b, : D[b]] = idx_list[b]
-        idx[b, D[b]:] = idx_list[b][-1]
+    idx = np.broadcast_to(last_arr[:, None], (B, Dmax)).copy()
+    idx[:, 0] = first_arr
+    if len(rows):
+        rank = np.arange(len(rows), dtype=np.int64) - starts[rows]
+        idx[rows, rank + 1] = cols
 
+    col = np.arange(Dmax, dtype=np.int64)[None, :]
     bidx = np.arange(B)[:, None]
-    nxt_pos = np.minimum(np.arange(Dmax)[None, :] + 1, D[:, None] - 1)
+    nxt_pos = np.minimum(col + 1, D[:, None].astype(np.int64) - 1)
     raw = S[idx[bidx, nxt_pos]] - S[idx]
-    for b in range(B):
-        # interval past the range end: r[last] alone for a plain repaint
-        # (the reference's "technicality", fast_painting.cpp:711-712), or an
-        # explicit override (checkpoint chaining extends it to the next
-        # derived site beyond the window, matching the full-pass intervals).
-        raw[b, D[b] - 1] = (r[int(last_arr[b])] if final_raw is None
-                            else final_raw[b])
-        raw[b, D[b]:] = 0.0
+    # interval past the range end: r[last] alone for a plain repaint
+    # (the reference's "technicality", fast_painting.cpp:711-712), or an
+    # explicit override (checkpoint chaining extends it to the next
+    # derived site beyond the window, matching the full-pass intervals).
+    fin = (r[last_arr] if final_raw is None
+           else np.asarray(final_raw, dtype=np.float64))
+    raw = np.where(col == D[:, None] - 1, fin[:, None], raw)
+    raw = np.where(col >= D[:, None], 0.0, raw)
 
     p = 1.0 - np.exp(-raw)
     capped = p > P_CAP
@@ -326,6 +335,110 @@ def make_painting_kernels(model: PaintingModel):
     return jax.jit(fwd), jax.jit(bwd), jax.jit(bwd_full)
 
 
+def make_device_planner(model: PaintingModel):
+    """Jitted device-side twin of :func:`build_target_plan` feeding the
+    Pallas kernels (``ops/paint_kernels.py``).
+
+    Returns plan arrays already in the kernels' (step-major, lane=target)
+    layouts, plus the precomputed per-step mismatch indicator tensor
+    (one panel-row gather replaces the per-step gather the scan twin pays).
+    The ragged derived-site lists are compacted with one masked sort
+    instead of host loops. ``S32`` must be the recombination-distance
+    prefix sum REBASED near the window (float32 keeps ~1e-7 of the
+    in-window span, vs catastrophic cancellation on whole-chromosome
+    magnitudes).
+    """
+    log_ntheta = model.log_ntheta
+    Nm1 = model.N - 1.0
+
+    @functools.partial(jax.jit, static_argnames=("Dmax",))
+    def prep(G, GT, S_hi, S_lo, targets, first, last, fin, n_real, Dmax):
+        L, N = G.shape
+        B = targets.shape[0]
+        GTt = jnp.take(GT, targets, axis=0)                   # (B, L) rows
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        first_c = first[:, None].astype(jnp.int32)
+        last_c = last[:, None].astype(jnp.int32)
+        mask = (GTt != 0) & (pos > first_c) & (pos < last_c)
+        counts = jnp.sum(mask, axis=1, dtype=jnp.int32)[:, None]
+        D = counts + 2                                        # (B, 1)
+        # one multi-operand sort compacts the ragged derived positions AND
+        # carries the recombination prefix-sum values along, so no 1.3M-
+        # element gathers are needed afterwards (element gathers are the
+        # planner's bottleneck on TPU)
+        keys = jnp.where(mask, pos, jnp.int32(L))
+        shv = jnp.broadcast_to(S_hi[None, :L], (B, L))
+        slv = jnp.broadcast_to(S_lo[None, :L], (B, L))
+        skeys, sh_s, sl_s = jax.lax.sort((keys, shv, slv), dimension=1,
+                                         num_keys=1)
+        col = jnp.arange(Dmax, dtype=jnp.int32)[None, :]
+        inner_sel = col <= counts
+        idx = jnp.concatenate([first_c, skeys[:, :Dmax - 1]], axis=1)
+        idx = jnp.where(col == 0, first_c,
+                        jnp.where(inner_sel, idx, last_c))
+        # boundary S values: tiny (B,) gathers
+        sh_first = S_hi[first][:, None]
+        sl_first = S_lo[first][:, None]
+        sh_last = S_hi[last][:, None]
+        sl_last = S_lo[last][:, None]
+        sh = jnp.concatenate([sh_first, sh_s[:, :Dmax - 1]], axis=1)
+        sh = jnp.where(col == 0, sh_first, jnp.where(inner_sel, sh, sh_last))
+        sl = jnp.concatenate([sl_first, sl_s[:, :Dmax - 1]], axis=1)
+        sl = jnp.where(col == 0, sl_first, jnp.where(inner_sel, sl, sl_last))
+        # interval ends: step j+1's S, a shift (idx rows are left-compacted)
+        sh_next = jnp.concatenate([sh[:, 1:], sh_last], axis=1)
+        sl_next = jnp.concatenate([sl[:, 1:], sl_last], axis=1)
+        # two-float prefix-sum difference: the hi terms are exact f32 values
+        # so their difference rounds at the magnitude of the (small) interval,
+        # not of the whole-chromosome prefix sum; the lo terms restore the
+        # f64 residual. Error ~ eps*raw instead of eps*S.
+        raw = jnp.where(col < D - 1,
+                        (sh_next - sh) + (sl_next - sl), 0.0)
+        raw = jnp.where(col == D - 1, fin[:, None], raw)
+        # target allele per step, gather-free: inner steps are derived by
+        # construction; only the first/last boundary steps read the panel
+        gfirst = jnp.take_along_axis(GTt, first_c, axis=1)
+        glast = jnp.take_along_axis(GTt, last_c, axis=1)
+        seqk = jnp.where(col == 0, gfirst,
+                         jnp.where(inner_sel, jnp.uint8(1), glast))
+        p = -jnp.expm1(-raw)   # full f32 relative precision for small raw
+        capped = p > P_CAP
+        p = jnp.where(capped, np.float32(P_CAP), p)
+        nxtv = jnp.where(capped, np.float32(np.log(0.01) + log_ntheta),
+                         -raw + np.float32(log_ntheta))
+        pfac = p / ((1.0 - p) * np.float32(Nm1))
+        padm = col >= D
+        pfac = jnp.where(padm, 0.0, pfac).astype(jnp.float32)
+        nxtv = jnp.where(padm, 0.0, nxtv).astype(jnp.float32)
+
+        # per-step mismatch tensor, (Dmax, N, B): one row gather + a
+        # sublane/lane transpose, consumed as pipelined streams in-kernel
+        idxT = idx.T
+        grows = jnp.take(G, idxT.reshape(-1), axis=0).reshape(Dmax, B, N)
+        mism = (seqk.T[:, :, None] > grows).astype(jnp.int8)
+        mismT = mism.transpose(0, 2, 1)
+
+        pfacT = pfac.T
+        nxtT = nxtv.T
+        z = jnp.zeros((1, B), jnp.float32)
+        shifts = (jnp.concatenate([z, pfacT[:-1]], 0),   # pfac[j-1] at row j
+                  jnp.concatenate([z, nxtT[:-1]], 0),
+                  jnp.concatenate([pfacT[1:], z], 0),    # pfac[j+1] at row j
+                  jnp.concatenate([nxtT[1:], z], 0))
+        nrow = jnp.arange(N, dtype=jnp.int32)[:, None]
+        kmaskT = ((nrow != targets[None, :]) & (nrow < n_real)
+                  ).astype(jnp.float32)
+        return idx, seqk, D[:, 0], mismT, shifts, kmaskT
+
+    return prep
+
+
+@functools.partial(jax.jit, static_argnames=("B", "Nn"))
+def _to_bn(topo, B, Nn):
+    """(Dmax, N, B) kernel layout -> public (Dmax, B, N), unpadded."""
+    return topo.transpose(0, 2, 1)[:, :B, :Nn]
+
+
 def _reverse_plan(plan: TargetPlan):
     """Host: reversed step arrays for the backward scan.
 
@@ -390,6 +503,119 @@ class Painter:
         self.L, self.N = G.shape
         self._extract = jax.jit(
             lambda arr, rows: arr[rows, jnp.arange(arr.shape[1])])
+        self._csr = None
+        self._planner = None
+        self._cumG = None
+        self._S = None
+        self._G_pad = None
+
+    # -- pallas fast path caches ------------------------------------------
+    def _use_pallas(self) -> bool:
+        if os.environ.get("RELATE_TPU_NO_PALLAS"):
+            return False
+        return jax.default_backend() == "tpu"
+
+    def _cum_counts(self) -> np.ndarray:
+        """(L+1, N) prefix counts of derived sites per haplotype."""
+        if self._cumG is None:
+            c = np.zeros((self.L + 1, self.N), dtype=np.int32)
+            np.cumsum(self.G_host, axis=0, out=c[1:])
+            self._cumG = c
+        return self._cumG
+
+    def _r_prefix(self) -> np.ndarray:
+        if self._S is None:
+            S = np.zeros(self.L + 1, dtype=np.float64)
+            np.cumsum(self.r, out=S[1:])
+            self._S = S
+        return self._S
+
+    def _padded_panel(self):
+        """Device panel with the source axis padded to a lane-friendly
+        multiple of 32 (padding columns are masked out via kmask)."""
+        if self._G_pad is None:
+            Npad = -(-self.N // 32) * 32
+            GT = jnp.asarray(np.ascontiguousarray(self.G_host.T))
+            if Npad == self.N:
+                self._G_pad = (self.G, GT, self.N)
+            else:
+                Gp = np.zeros((self.L, Npad), dtype=np.uint8)
+                Gp[:, : self.N] = self.G_host
+                self._G_pad = (jnp.asarray(Gp), GT, Npad)
+        return self._G_pad
+
+    def _repaint_pallas(self, first_arr, last_arr, alpha0, beta_end,
+                        ls_base, targets) -> "PaintOutput":
+        """RePaintSection on the fused Pallas kernels (TPU backend)."""
+        from ..ops import paint_kernels
+
+        if self._planner is None:
+            self._planner = make_device_planner(self.model)
+        B = len(targets)
+        first_arr = np.broadcast_to(
+            np.asarray(first_arr, dtype=np.int64), (B,))
+        last_arr = np.broadcast_to(np.asarray(last_arr, dtype=np.int64), (B,))
+
+        cumG = self._cum_counts()
+        counts = (cumG[last_arr, targets]
+                  - cumG[first_arr + 1, targets]).astype(np.int64)
+        Dmax = -(-(int(counts.max()) + 2) // 256) * 256   # bucketed
+        Bp = -(-B // 128) * 128
+        Gd, GTd, Npad = self._padded_panel()
+
+        tgt_p = np.zeros(Bp, dtype=np.int32)
+        tgt_p[:B] = targets
+        fst_p = np.zeros(Bp, dtype=np.int32)
+        fst_p[:B] = first_arr
+        lst_p = np.full(Bp, self.L - 1, dtype=np.int32)
+        lst_p[:B] = last_arr
+        S = self._r_prefix() - self._r_prefix()[int(first_arr.min())]
+        S_hi = S.astype(np.float32)
+        S_lo = (S - S_hi.astype(np.float64)).astype(np.float32)
+        fin = self.r[lst_p].astype(np.float32)
+
+        idx_d, seqk_d, D_d, mismT, shifts, kmaskT = self._planner(
+            Gd, GTd, jnp.asarray(S_hi), jnp.asarray(S_lo),
+            jnp.asarray(tgt_p), jnp.asarray(fst_p), jnp.asarray(lst_p),
+            jnp.asarray(fin), self.N, Dmax=Dmax)
+        pfacm1, nxtm1, pfacp1, nxtp1 = shifts
+
+        a0 = np.zeros((Npad, Bp), dtype=np.float32)
+        a0[: self.N, :B] = np.asarray(alpha0, dtype=np.float32).T
+        be = np.zeros((Npad, Bp), dtype=np.float32)
+        be[: self.N, :B] = np.asarray(beta_end, dtype=np.float32).T
+        D2 = D_d[None, :]
+        theta = float(self.model.theta)
+        alphas, lsf = paint_kernels.fwd_pallas(
+            D2, jnp.asarray(a0), kmaskT, mismT, pfacm1, nxtm1, theta=theta)
+        topo, lstot = paint_kernels.bwd_pallas(
+            D2, jnp.asarray(be), kmaskT, mismT, pfacp1, nxtp1, alphas, lsf,
+            theta=theta)
+        topo_bn = _to_bn(topo, B, self.N)
+        lstot = lstot[:, :B]
+
+        # idx/seqk stay on device — host transfers ride a slow tunnel, and
+        # the only host consumer (distance.init_state) reads idx[:, 0] alone
+        plan = TargetPlan(
+            targets=np.asarray(targets, dtype=np.int32),
+            idx=idx_d[:B],
+            seqk=seqk_d[:B],
+            pfac=None, nxt=None,
+            D=(counts + 2).astype(np.int32),
+            kmask=None)
+        return PaintOutput(topology=topo_bn, logscale=lstot,
+                           ls_base=np.asarray(ls_base, np.float64),
+                           plan=plan)
+
+    def _derived_csr(self):
+        """CSR layout of per-haplotype derived-site positions: column k's
+        sorted positions are ``cols[indptr[k]:indptr[k+1]]``."""
+        if self._csr is None:
+            rows, cols = np.nonzero(self.G_host.T)
+            indptr = np.zeros(self.N + 1, dtype=np.int64)
+            np.cumsum(np.bincount(rows, minlength=self.N), out=indptr[1:])
+            self._csr = (indptr, cols.astype(np.int64))
+        return self._csr
 
     # -- boundaries ------------------------------------------------------
     def window_boundary_sites(self, boundaries: np.ndarray
@@ -406,15 +632,14 @@ class Painter:
         W = len(boundaries) - 1
         bsb = np.zeros((W, N), dtype=np.int64)
         bse = np.zeros((W, N), dtype=np.int64)
+        indptr, csr_cols = self._derived_csr()
+        wends = np.asarray(boundaries[1:], dtype=np.int64)
         for k in range(N):
-            dsites = np.unique(np.concatenate(
-                [[0], np.nonzero(G[:, k])[0], [L - 1]]))
-            for w in range(W):
-                wend = boundaries[w + 1]
-                i = np.searchsorted(dsites, wend, side="left") - 1
-                bsb[w, k] = dsites[max(i, 0)]
-                jpos = np.searchsorted(dsites, wend, side="left")
-                bse[w, k] = dsites[min(jpos, len(dsites) - 1)]
+            core = csr_cols[indptr[k]:indptr[k + 1]]
+            dsites = np.unique(np.concatenate([[0], core, [L - 1]]))
+            jpos = np.searchsorted(dsites, wends, side="left")
+            bsb[:, k] = dsites[np.maximum(jpos - 1, 0)]
+            bse[:, k] = dsites[np.minimum(jpos, len(dsites) - 1)]
         # alpha checkpoint for window w is captured at boundaries[w]: the
         # last derived step < boundaries[w] (i.e. the bsb of window w-1).
         out_bsb = np.zeros((W, N), dtype=np.int64)
@@ -433,12 +658,12 @@ class Painter:
     @staticmethod
     def _row_of_site(plan: TargetPlan, sites: np.ndarray) -> np.ndarray:
         """Row index of an absolute site in each target's step list."""
-        B = plan.idx.shape[0]
-        rows = np.empty(B, dtype=np.int64)
-        for b in range(B):
-            pos = int(np.searchsorted(plan.idx[b, : plan.D[b]], sites[b]))
-            assert plan.idx[b, pos] == sites[b], (b, int(sites[b]))
-            rows[b] = pos
+        sites = np.asarray(sites, dtype=np.int64)
+        # valid step lists are sorted ascending and padding repeats the final
+        # site (>= any queried site), so a strict count-below is the rank
+        rows = (plan.idx < sites[:, None]).sum(axis=1).astype(np.int64)
+        got = np.take_along_axis(plan.idx, rows[:, None], axis=1)[:, 0]
+        assert np.array_equal(got, sites), (rows, sites)
         return rows
 
     def _run_fwd(self, plan: TargetPlan, alpha0, dev=None):
@@ -520,14 +745,16 @@ class Painter:
         L, N = G.shape
         S = np.zeros(L + 1, dtype=np.float64)
         np.cumsum(r, out=S[1:])
+        indptr, csr_cols = self._derived_csr()
         out = np.empty(N, dtype=np.float64)
         for k in range(N):
             b = int(bse_row[k])
             if b >= L - 1:
                 out[k] = r[L - 1]
                 continue
-            nxt = np.nonzero(G[b + 1:, k])[0]
-            nd = b + 1 + nxt[0] if len(nxt) else L - 1
+            core = csr_cols[indptr[k]:indptr[k + 1]]
+            j = np.searchsorted(core, b, side="right")
+            nd = int(core[j]) if j < len(core) else L - 1
             out[k] = S[nd] - S[b]
         return out
 
@@ -538,6 +765,13 @@ class Painter:
         (RePaintSection equivalent)."""
         if targets is None:
             targets = np.arange(self.N, dtype=np.int32)
+        if self._use_pallas():
+            base = (np.asarray(cp.ls_alpha, np.float64)[targets]
+                    + np.asarray(cp.ls_beta, np.float64)[targets])
+            return self._repaint_pallas(
+                cp.bsb[targets] if np.ndim(cp.bsb) else cp.bsb,
+                cp.bse[targets] if np.ndim(cp.bse) else cp.bse,
+                cp.alpha[targets], cp.beta[targets], base, targets)
         plan = build_target_plan(self.G_host, self.r, self.model,
                                  cp.bsb[targets] if np.ndim(cp.bsb) else cp.bsb,
                                  cp.bse[targets] if np.ndim(cp.bse) else cp.bse,

@@ -33,13 +33,26 @@ def _normalized_prior(epochs, rates):
 def reestimate_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
                               dist: np.ndarray, mu: float,
                               epochs: np.ndarray, rates: np.ndarray,
-                              seed: int = 1):
-    """Re-run the branch-length MCMC under a .coal prior, in place."""
+                              seed: int = 1,
+                              group_rates: Optional[np.ndarray] = None,
+                              memberships: Optional[np.ndarray] = None):
+    """Re-run the branch-length MCMC under a .coal prior, in place.
+
+    With ``group_rates`` (E, G, G) and per-haplotype ``memberships``, the
+    prior uses pairwise group coalescence rates
+    (EstimateBranchLengthsWithSampleAge::MCMCCoalRatesForRelate)."""
     avg_ne, r_norm, e_norm = _normalized_prior(epochs, rates)
     trees = [mt.tree for mt in anc.seq]
+    group_R = None
+    if group_rates is not None:
+        # normalize the pair matrix by the same average Ne so times stay in
+        # Ne-generations units (ReEstimateBranchLengths.cpp:202-218)
+        gr = np.asarray(group_rates, dtype=np.float64)
+        group_R = np.where(np.isfinite(gr) & (gr > 0), gr, 0.0) * avg_ne
     bl = mcmc.run_mcmc(trees, dist.astype(np.float64), len(muts),
                        Ne=avg_ne, mu=mu, seed=seed,
-                       epochs=e_norm, rates=r_norm)
+                       epochs=e_norm, rates=r_norm,
+                       group_R=group_R, memberships=memberships)
     for i, mt in enumerate(anc.seq):
         mt.tree.branch_length = bl[i]
     return anc

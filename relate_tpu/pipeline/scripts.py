@@ -158,13 +158,26 @@ def sample_branch_lengths(input_prefix: str, output_prefix: str,
 
 def reestimate_branch_lengths(input_prefix: str, output_prefix: str,
                               coal_path: str, mu: float = 1.25e-8,
-                              seed: int = 1):
+                              seed: int = 1,
+                              poplabels_path: Optional[str] = None):
     """ReEstimateBranchLengths.sh: whole-chromosome re-estimation under a
-    .coal prior."""
+    .coal prior; with ``poplabels_path`` the prior uses pairwise group
+    rates (ReEstimateBranchLengths.cpp:144-232 with --poplabels)."""
     anc, recs, bp, dist, rsid, alleles = _load_pair(input_prefix)
     names, epochs, rates = coalrate.read_coal(coal_path)
+    memberships = None
+    if poplabels_path is not None:
+        pl = hio.read_poplabels(poplabels_path)
+        memberships = pl.group_of_haplotype[: anc.N]
+        if rates.shape[1] != pl.num_groups:
+            raise SystemExit(
+                f"coal file has {rates.shape[1]} groups, poplabels "
+                f"{pl.num_groups}")
     sampling.reestimate_branch_lengths(anc, recs, dist, mu, epochs,
-                                       rates[:, 0, 0], seed=seed)
+                                       rates[:, 0, 0], seed=seed,
+                                       group_rates=(rates if memberships
+                                                    is not None else None),
+                                       memberships=memberships)
     _dump_pair(output_prefix, anc, recs, bp, dist, rsid, alleles)
 
 

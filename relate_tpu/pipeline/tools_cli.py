@@ -51,7 +51,8 @@ def coalescent_rate(args):
     elif args.mode == "ReEstimateBranchLengths":
         from .scripts import reestimate_branch_lengths
         reestimate_branch_lengths(args.input, args.output, args.coal,
-                                  mu=args.mutation_rate, seed=args.seed)
+                                  mu=args.mutation_rate, seed=args.seed,
+                                  poplabels_path=args.poplabels)
     elif args.mode == "SampleBranchLengths":
         from .scripts import sample_branch_lengths
         sample_branch_lengths(args.input, args.output, args.coal,

@@ -312,3 +312,119 @@ def map_extra_mutations(anc: AncesTree, muts: List[MutationRecord],
     from . import ancmut as _ancmut
     _ancmut.get_age(anc, out)
     return out
+
+
+def get_mut(anc: AncesTree, muts: List[MutationRecord]):
+    """Re-derive mutation age intervals from the trees and return the
+    records (RelateExtract --mode GetMut; extract/Annotate.cpp:6-49 calls
+    Mutations::GetAge then dumps)."""
+    from . import ancmut as _ancmut
+    _ancmut.get_age(anc, muts)
+    return muts
+
+
+def ancient_to_modern(anc: AncesTree):
+    """Fold sample ages into the tip branch lengths and drop them
+    (extract/Annotate.cpp:611-650)."""
+    if anc.sample_ages is None:
+        return anc
+    for mt in anc.seq:
+        mt.tree.branch_length[: anc.N] += np.asarray(anc.sample_ages)
+    anc.sample_ages = None
+    return anc
+
+
+def count_mut_on_branches(anc: AncesTree, muts: List[MutationRecord]):
+    """Per-tree per-branch mutation counts (RelateExtract --mode
+    CountMutonBranches / Annotate.cpp PrintMutonBranches): rows of
+    (tree_index, branch, count) for branches carrying >= 1 mutation."""
+    counts = {}
+    for m in muts:
+        if len(m.branch) == 1:
+            counts[(m.tree, int(m.branch[0]))] = \
+                counts.get((m.tree, int(m.branch[0])), 0) + 1
+    return sorted((t, b, c) for (t, b), c in counts.items())
+
+
+def all_branches_of_mut(muts: List[MutationRecord]):
+    """(snp, branches) for every mutation incl. non-mapping multi-branch
+    ones (RelateExtract --mode GetAllBranchesOfMut)."""
+    return [(snp, list(m.branch)) for snp, m in enumerate(muts)]
+
+
+def check_branch_persistence(anc: AncesTree, muts: List[MutationRecord],
+                             bp: np.ndarray):
+    """Per SNP: how many bases the mutation's branch persists, from the
+    branch's propagated SNP span (RelateExtract --mode
+    CheckBranchPersistence, Annotate.cpp:512-608; spans come from
+    AssociateTrees exactly like the reference's equivalent-branch
+    propagation)."""
+    out = np.zeros(len(muts), dtype=np.float64)
+    L = len(bp)
+    for snp, m in enumerate(muts):
+        if len(m.branch) != 1:
+            continue
+        tree = anc.seq[m.tree].tree
+        b = int(m.branch[0])
+        sb = int(tree.SNP_begin[b])
+        se = min(int(tree.SNP_end[b]), L - 1)
+        out[snp] = float(bp[se]) - float(bp[sb])
+    return out
+
+
+def generate_snp_annotations_using_tree(anc: AncesTree,
+                                        muts: List[MutationRecord],
+                                        bp: np.ndarray,
+                                        alleles: List[str]):
+    """.annot rows ``upstream;downstream;carriers`` per SNP, with carrier
+    counts taken from the mapped branch's leaf set (RelateExtract --mode
+    GenerateSNPAnnotationsUsingTree, Annotate.cpp:52-190)."""
+    rows = []
+    for snp, m in enumerate(muts):
+        up = alleles[snp - 1].split("/")[0] if snp > 0 and "/" in \
+            alleles[snp - 1] else "."
+        dn = alleles[snp + 1].split("/")[0] if snp + 1 < len(alleles) and \
+            "/" in alleles[snp + 1] else "."
+        ncar = 0
+        if len(m.branch) == 1:
+            tree = anc.seq[m.tree].tree
+            ncar = num_leaves_below(tree, int(m.branch[0]))
+        rows.append(f"{up};{dn};{ncar}")
+    return rows
+
+
+def num_leaves_below(tree: Tree, v: int) -> int:
+    N = tree.N
+    if v < N:
+        return 1
+    stack = [v]
+    n = 0
+    while stack:
+        u = stack.pop()
+        if u < N:
+            n += 1
+        else:
+            stack.append(int(tree.child_left[u]))
+            stack.append(int(tree.child_right[u]))
+    return n
+
+
+def convert_newick_to_timeb(newick_path: str, out_path: str):
+    """Sampled newicks of one tree -> binary .timeb node-age samples
+    (RelateExtract --mode ConvertNewickToTimeb, extract/Convert.cpp:167)."""
+    from . import importers
+    ages = []
+    with open(newick_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            t = importers.newick_to_tree(line)
+            ages.append(t.coordinates())
+    import struct
+    arr = np.asarray(ages, dtype=np.float32)
+    S, M = arr.shape
+    with open(out_path, "wb") as f:
+        np.asarray([S, 1, M], dtype=np.int32).tofile(f)
+        arr.tofile(f)
+    return out_path

@@ -188,25 +188,25 @@ def write_haps(data: HapsData, path: str):
                     f"{data.ancestral[i]} {data.alternative[i]} {alleles}\n")
 
 
-def to_tree_sequence(anc, muts, bp: np.ndarray, out_path: str):
-    """Export .anc/.mut to a tskit .trees file (ConvertToTreeSequence).
+def to_tree_sequence(anc, muts, bp: np.ndarray, out_path: str,
+                     alleles=None):
+    """Export .anc/.mut to a tskit .trees file (ConvertToTreeSequence,
+    ``include/file_formats/ConvertToTreeSequence.cpp:221``).
 
-    Uses the tskit Python package; raises ImportError with guidance if it is
-    not installed in the environment.
+    Writes the kastore/tskit file-format-12 container natively
+    (``io/kastore.py``) — no tskit package required. Leaves are shared
+    sample nodes 0..N-1; each marginal tree contributes its own internal
+    nodes with strictly-increasing coalescence times (epsilon bumps on
+    ties, as the reference enforces parent > child times).
     """
-    try:
-        import tskit
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "tskit is required for .trees export; the text .anc/.mut "
-            "formats remain available") from e
+    from . import kastore as _ks
 
     N = anc.N
-    tables = tskit.TableCollection(sequence_length=float(bp[-1]) + 1)
+    seq_len = float(bp[-1]) + 1.0
     sample_ages = anc.sample_ages
-    for i in range(N):
-        t0 = float(sample_ages[i]) if sample_ages is not None else 0.0
-        tables.nodes.add_row(flags=tskit.NODE_IS_SAMPLE, time=t0)
+    node_time = [float(sample_ages[i]) if sample_ages is not None else 0.0
+                 for i in range(N)]
+    node_flags = [1] * N          # TSK_NODE_IS_SAMPLE
 
     T = len(anc.seq)
     starts = [mt.pos for mt in anc.seq] + [len(bp)]
@@ -215,35 +215,56 @@ def to_tree_sequence(anc, muts, bp: np.ndarray, out_path: str):
         if len(m.branch) == 1:
             muts_by_tree.setdefault(m.tree, []).append(snp)
 
+    e_left, e_right, e_parent, e_child = [], [], [], []
+    s_pos, s_anc = [], []
+    m_site, m_node, m_der = [], [], []
     for t, mt in enumerate(anc.seq):
         tree = mt.tree
         coords = tree.coordinates(sample_ages)
         left = 0.0 if t == 0 else float(bp[min(starts[t], len(bp) - 1)])
-        if t + 1 < T:
-            right = float(bp[min(starts[t + 1], len(bp) - 1)])
-        else:
-            right = tables.sequence_length
+        right = (float(bp[min(starts[t + 1], len(bp) - 1)])
+                 if t + 1 < T else seq_len)
         if right <= left:
             continue
         node_map = {v: v for v in range(N)}
         order = np.argsort(coords[N:], kind="stable") + N
-        prev = float(coords[: N].max()) if N else 0.0
+        prev = float(coords[:N].max()) if N else 0.0
         for v in order:
             tt = max(float(coords[v]), prev + 1e-6)
             prev = tt
-            node_map[int(v)] = tables.nodes.add_row(time=tt)
+            node_map[int(v)] = len(node_time)
+            node_time.append(tt)
+            node_flags.append(0)
         for v in range(tree.num_nodes):
             if tree.parent[v] >= 0:
-                tables.edges.add_row(left=left, right=right,
-                                     parent=node_map[int(tree.parent[v])],
-                                     child=node_map[v])
+                e_left.append(left)
+                e_right.append(right)
+                e_parent.append(node_map[int(tree.parent[v])])
+                e_child.append(node_map[v])
         for snp in muts_by_tree.get(t, []):
-            site = tables.sites.add_row(position=float(bp[snp]),
-                                        ancestral_state="0")
-            tables.mutations.add_row(site=site,
-                                     node=node_map[int(muts[snp].branch[0])],
-                                     derived_state="1")
-    tables.sort()
-    ts = tables.tree_sequence()
-    ts.dump(out_path)
+            a0, a1 = ("0", "1")
+            if alleles is not None and "/" in alleles[snp]:
+                a0, a1 = alleles[snp].split("/")[:2]
+            m_site.append(len(s_pos))
+            s_pos.append(float(bp[snp]))
+            s_anc.append(a0 or "0")
+            m_node.append(node_map[int(muts[snp].branch[0])])
+            m_der.append(a1 or "1")
+
+    # tskit edge ordering: (time[parent], parent, child, left)
+    nt = np.asarray(node_time)
+    ep = np.asarray(e_parent, np.int32)
+    ec = np.asarray(e_child, np.int32)
+    el = np.asarray(e_left)
+    er = np.asarray(e_right)
+    o = np.lexsort((el, ec, ep, nt[ep]))
+    _ks.trees_dump(
+        out_path, sequence_length=seq_len,
+        node_time=nt, node_flags=np.asarray(node_flags, np.uint32),
+        edge_left=el[o], edge_right=er[o],
+        edge_parent=ep[o], edge_child=ec[o],
+        site_position=np.asarray(s_pos), site_ancestral=s_anc,
+        mut_site=np.asarray(m_site, np.int32),
+        mut_node=np.asarray(m_node, np.int32), mut_derived=m_der,
+        provenance="")
     return out_path

@@ -135,6 +135,10 @@ def selection_tool(args):
 
 def extract_tool(args):
     from ..io import ancmut, extract
+    if args.mode == "ConvertNewickToTimeb":
+        extract.convert_newick_to_timeb(args.input + ".newick",
+                                        args.output + ".timeb")
+        return
     anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
     if args.mode == "AncToNewick":
         nw = extract.anc_to_newick(anc, recs, bp, args.first_bp,
@@ -187,6 +191,105 @@ def extract_tool(args):
             i += 1
         anc2, recs2 = extract.combine_anc_mut(parts)
         _dump_pair(args.output, anc2, recs2, bp, dist, rsid, alleles)
+    elif args.mode == "MapMutations":
+        anc2, recs2 = extract.map_extra_mutations(anc, recs, bp, dist)
+        from .scripts import _dump_pair
+        _dump_pair(args.output, anc2, recs2, bp, dist, rsid, alleles)
+    elif args.mode == "UnlinkTips":
+        tips = [int(x) for x in args.pop_of_interest.split(",") if x]
+        anc2 = extract.unlink_tips(anc, tips)
+        from .scripts import _dump_pair
+        _dump_pair(args.output, anc2, recs, bp, dist, rsid, alleles)
+    elif args.mode == "GetMut":
+        extract.get_mut(anc, recs)
+        from .scripts import _dump_pair
+        _dump_pair(args.output, anc, recs, bp, dist, rsid, alleles)
+    elif args.mode == "AncientToModern":
+        anc2 = extract.ancient_to_modern(anc)
+        from .scripts import _dump_pair
+        _dump_pair(args.output, anc2, recs, bp, dist, rsid, alleles)
+    elif args.mode == "CountMutonBranches":
+        rows = extract.count_mut_on_branches(anc, recs)
+        with open(args.output + ".mutcount", "w") as f:
+            f.write("tree branch count\n")
+            for t, b, c in rows:
+                f.write(f"{t} {b} {c}\n")
+    elif args.mode == "GetAllBranchesOfMut":
+        with open(args.output + ".branches", "w") as f:
+            f.write("snp branches\n")
+            for snp, brs in extract.all_branches_of_mut(recs):
+                f.write(f"{snp} {' '.join(str(b) for b in brs)}\n")
+    elif args.mode == "CheckBranchPersistence":
+        per = extract.check_branch_persistence(anc, recs, bp)
+        with open(args.output + ".persistence", "w") as f:
+            f.write("snp bp persisted_bases\n")
+            for snp, v in enumerate(per):
+                f.write(f"{snp} {bp[snp]} {v:g}\n")
+    elif args.mode == "GenerateSNPAnnotationsUsingTree":
+        rows = extract.generate_snp_annotations_using_tree(anc, recs, bp,
+                                                           alleles)
+        with open(args.output + ".annot", "w") as f:
+            f.write("upstream_allele;downstream_allele;\n")
+            f.write("\n".join(rows) + "\n")
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+
+def fileformats_tool(args):
+    """RelateFileFormats twin (FileFormats.cpp:17-1128 + anc.cpp importers
+    + ConvertToTreeSequence.cpp)."""
+    from ..io import fileformats, importers
+    from ..io import haps as hio
+
+    if args.mode == "ConvertFromVcf":
+        fileformats.convert_from_vcf(args.input, args.output)
+    elif args.mode == "ConvertFromHapLegendSample":
+        fileformats.convert_from_hap_legend_sample(
+            args.input + ".hap.gz", args.input + ".legend.gz",
+            args.input + ".sample", args.output)
+    elif args.mode in ("RemoveNonBiallelicSNPs", "RemoveSamples",
+                       "FilterHapsUsingMask", "FlipHapsUsingAncestor",
+                       "GenerateSNPAnnotations"):
+        data = hio.read_haps(args.input + ".haps.gz",
+                             args.input + ".sample.gz")
+        if args.mode == "RemoveNonBiallelicSNPs":
+            data, _ = fileformats.remove_non_biallelic_snps(data)
+        elif args.mode == "RemoveSamples":
+            with open(args.remove_ids) as f:
+                drop_names = {x.strip() for x in f if x.strip()}
+            _, ids = hio.read_sample(args.input + ".sample.gz")
+            drop = [i for i, x in enumerate(ids)
+                    if x.rsplit("_", 1)[0] in drop_names]
+            data = fileformats.remove_samples(data, drop)
+        elif args.mode == "FilterHapsUsingMask":
+            mask = hio.read_fasta(args.mask)
+            data, _ = fileformats.filter_haps_using_mask(data, mask)
+        elif args.mode == "FlipHapsUsingAncestor":
+            anc_seq = hio.read_fasta(args.ancestor)
+            data, _ = fileformats.flip_haps_using_ancestor(data, anc_seq)
+        else:
+            anc_seq = hio.read_fasta(args.ancestor) if args.ancestor else None
+            fileformats.generate_snp_annotations(
+                data, anc_seq, args.output + ".annot")
+            return
+        fileformats.write_haps(data, args.output)
+    elif args.mode in ("ConvertToTreeSequence", "ConvertToTreeSequenceTxt"):
+        anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
+        fileformats.to_tree_sequence(anc, recs, bp,
+                                     args.output + ".trees",
+                                     alleles=alleles)
+    elif args.mode in ("ConvertFromNewick", "ConvertFromRent",
+                       "ConvertFromArgweaverSMC", "ConvertFromMsPrime"):
+        if args.mode == "ConvertFromNewick":
+            anc = importers.read_newick(args.input, args.effectiveN)
+        elif args.mode == "ConvertFromRent":
+            anc = importers.read_rent(args.input, args.effectiveN)
+        elif args.mode == "ConvertFromArgweaverSMC":
+            anc = importers.read_argweaver_smc(args.input)
+        else:
+            anc = importers.read_msprime(args.input)
+        from ..io import ancmut
+        ancmut.write_anc_text(args.output + ".anc", anc)
     else:
         raise SystemExit(f"unknown mode {args.mode}")
 
@@ -206,7 +309,8 @@ def treeview_tool(args):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="relate_tpu.tools")
     p.add_argument("tool", choices=["CoalescentRate", "MutationRate",
-                                    "Selection", "Extract", "TreeView"])
+                                    "Selection", "Extract", "TreeView",
+                                    "FileFormats"])
     p.add_argument("--mode", default="")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
@@ -227,11 +331,14 @@ def main(argv=None):
     p.add_argument("--threads", type=int, default=1)
     p.add_argument("--sample_id", type=int, default=0)
     p.add_argument("--format", default="anc")
+    p.add_argument("--mask")
+    p.add_argument("--remove_ids")
     p.add_argument("--seed", type=int, default=1)
     args = p.parse_args(argv)
     {"CoalescentRate": coalescent_rate, "MutationRate": mutation_rate,
      "Selection": selection_tool, "Extract": extract_tool,
-     "TreeView": treeview_tool}[args.tool](args)
+     "TreeView": treeview_tool, "FileFormats": fileformats_tool}[
+         args.tool](args)
     return 0
 
 

@@ -53,7 +53,7 @@ def make_sharded_paint_fn(mesh: Mesh, model: painting.PaintingModel,
     """Painting forward pass with the target-batch axis sharded over the
     mesh; G replicated. Returns a jitted fn of
     (G, idx, seqk, pfac, nxt, D, kmask, alpha0)."""
-    fwd, _ = painting.make_painting_kernels(model)
+    fwd, _, _ = painting.make_painting_kernels(model)
     repl = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P(axis))
 
@@ -97,7 +97,7 @@ def multichip_step(mesh: Mesh, model: painting.PaintingModel,
              out_shardings=(NamedSharding(mesh, P(None, axis)),
                             None, None))
     def run(G, idx, seqk, pfac, nxt, D, kmask, alpha0, st, s, key):
-        fwd, _ = painting.make_painting_kernels(model)
+        fwd, _, _ = painting.make_painting_kernels(model)
         alphas, ls = fwd(G, idx, seqk, pfac, nxt, D, kmask, alpha0)
         s2 = step(st, s, key, True)
 

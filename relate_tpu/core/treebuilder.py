@@ -262,3 +262,45 @@ def make_fused_rebuild(theta: float, N: int, mode: int,
                                  use_cf, False)
 
     return jax.jit(fn)
+
+
+def upgma(d: np.ndarray) -> Tree:
+    """UPGMA (average-linkage) tree from a distance matrix
+    (MinMatch::UPGMA, include/src/tree_builder.hpp:106 — an unused
+    alternative builder kept for API completeness). Works on the
+    symmetrized matrix; sequential host implementation."""
+    dd = 0.5 * (np.asarray(d, dtype=np.float64)
+                + np.asarray(d, dtype=np.float64).T)
+    N = dd.shape[0]
+    M = 2 * N - 1
+    parent = np.full(M, -1, np.int32)
+    cl = np.full(M, -1, np.int32)
+    cr = np.full(M, -1, np.int32)
+    bl = np.zeros(M, np.float64)
+    height = np.zeros(M, np.float64)
+    size = np.ones(M, np.float64)
+    D = np.full((M, M), np.inf)
+    D[:N, :N] = dd
+    np.fill_diagonal(D, np.inf)
+    active = list(range(N))
+    for t in range(N - 1):
+        sub = D[np.ix_(active, active)]
+        k = int(np.argmin(sub))
+        ai, aj = divmod(k, len(active))
+        i, j = active[ai], active[aj]
+        v = N + t
+        h = 0.5 * D[i, j]
+        parent[i] = parent[j] = v
+        cl[v], cr[v] = min(i, j), max(i, j)
+        height[v] = h
+        bl[i] = h - height[i]
+        bl[j] = h - height[j]
+        size[v] = size[i] + size[j]
+        for x in active:
+            if x in (i, j):
+                continue
+            D[v, x] = D[x, v] = ((size[i] * D[i, x] + size[j] * D[j, x])
+                                 / (size[i] + size[j]))
+        active = [x for x in active if x not in (i, j)] + [v]
+    return Tree(parent=parent, child_left=cl, child_right=cr,
+                branch_length=bl)

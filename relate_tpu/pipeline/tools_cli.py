@@ -73,16 +73,32 @@ def coalescent_rate(args):
 
 def mutation_rate(args):
     from ..evaluate import coalrate, mutrate
+    if args.mode in ("SummarizeForGenome", "SummarizeForGenomeForCategory",
+                     "Finalize", "FinalizeForCategory",
+                     "FinalizeMutationCount", "XY"):
+        return mutation_rate_summary(args)
     anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
     epochs = coalrate.epochs_from_bins(*args.bins, args.years_per_gen) \
         if args.bins else coalrate.default_epochs(args.years_per_gen)
-    if args.mode == "Avg":
+    if args.mode in ("Avg", "FinalizeAvg"):
         m, o, r = mutrate.avg_mutation_rate(anc, recs, dist, epochs)
         mutrate.write_rate(args.output + "_avg.rate", epochs, r)
+        np.savez(args.output + "_avg.npz", epochs=epochs, mutation=m,
+                 opportunity=o)
     elif args.mode in ("WithContext", "WithContextForChromosome",
-                       "MutationRateForCategory"):
+                       "MutationRateForCategory",
+                       "ForCategoryForChromosome",
+                       "ForCategoryForPopForChromosome"):
         from ..io import haps as hio
         anc_seq = hio.read_fasta(args.ancestor)
+        if args.mode == "ForCategoryForPopForChromosome" and args.poplabels:
+            # restrict the trees to the population of interest first
+            from ..io import extract as _ext
+            pl = hio.read_poplabels(args.poplabels)
+            keep = [h for h in range(anc.N)
+                    if pl.groups[pl.group_of_haplotype[h]] in
+                    set(args.pop_of_interest.split(","))]
+            anc, recs = _ext.subtrees_for_subpopulation(anc, recs, keep)
         ancestral = [a.split("/")[0] for a in alleles]
         alternative = [a.split("/")[1] if "/" in a else "N" for a in alleles]
         cats, names = mutrate.categorize_snps(bp, ancestral, alternative,
@@ -90,16 +106,65 @@ def mutation_rate(args):
         m, o, r = mutrate.avg_mutation_rate(anc, recs, dist, epochs,
                                             categories=cats,
                                             num_categories=len(names))
-        with open(args.output + ".rate", "w") as f:
-            f.write("epoch " + " ".join(names) + "\n")
-            for e in range(len(epochs)):
-                f.write(f"{epochs[e]:g} "
-                        + " ".join(f"{x:g}" for x in r[e]) + "\n")
+        _write_cat_rate(args.output + ".rate", epochs, names, r)
+        np.savez(args.output + "_bycat.npz", epochs=epochs, mutation=m,
+                 opportunity=o, names=np.asarray(names))
     elif args.mode == "MutationDensity":
         m, o = mutrate.mutation_density(anc, recs, dist, epochs,
                                         args.sample_id)
         np.savez(args.output + ".density.npz", epochs=epochs, mutation=m,
                  opportunity=o)
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+
+def _write_cat_rate(path, epochs, names, r):
+    with open(path, "w") as f:
+        f.write("epoch " + " ".join(names) + "\n")
+        for e in range(len(epochs)):
+            row = r[e] if np.ndim(r[e]) else [r[e]]
+            f.write(f"{epochs[e]:g} " + " ".join(f"{x:g}" for x in row)
+                    + "\n")
+
+
+def mutation_rate_summary(args):
+    """Genome-level aggregation modes that consume per-chromosome .npz
+    stats instead of anc/mut (SummarizeForGenome[ForCategory],
+    Finalize[ForCategory], FinalizeMutationCount, XY;
+    RelateMutationRate.cpp:3453-3634). ``--input`` is a comma-separated
+    list of per-chromosome output prefixes."""
+    from ..evaluate import mutrate
+    suffix = "_bycat.npz" if "ForCategory" in args.mode or \
+        args.mode == "XY" else "_avg.npz"
+    parts = [np.load(p + suffix, allow_pickle=True)
+             for p in args.input.split(",")]
+    epochs = parts[0]["epochs"]
+    m = sum(p["mutation"] for p in parts)
+    o = sum(p["opportunity"] for p in parts)
+    names = (list(parts[0]["names"]) if "names" in parts[0].files
+             else ["all"])
+    if args.mode.startswith("SummarizeForGenome"):
+        np.savez(args.output + (suffix if suffix.endswith("npz") else ""),
+                 epochs=epochs, mutation=m, opportunity=o,
+                 names=np.asarray(names))
+    elif args.mode in ("Finalize", "FinalizeForCategory"):
+        r = np.where(o > 0, m / np.maximum(o, 1e-300), 0.0)
+        _write_cat_rate(args.output + ".rate", epochs, names, r)
+    elif args.mode == "FinalizeMutationCount":
+        _write_cat_rate(args.output + ".count", epochs, names, m)
+    elif args.mode == "XY":
+        # alpha estimate: ratio of X to autosome mutation rates per epoch
+        # (the reference's XY mode compares chrX vs autosome rates)
+        if len(parts) < 2:
+            raise SystemExit("XY needs two inputs: autosomes,chrX")
+        ra = np.where(parts[0]["opportunity"] > 0,
+                      parts[0]["mutation"]
+                      / np.maximum(parts[0]["opportunity"], 1e-300), 0.0)
+        rx = np.where(parts[1]["opportunity"] > 0,
+                      parts[1]["mutation"]
+                      / np.maximum(parts[1]["opportunity"], 1e-300), 0.0)
+        ratio = np.where(ra > 0, rx / np.maximum(ra, 1e-300), 0.0)
+        _write_cat_rate(args.output + ".xy", epochs, names, ratio)
     else:
         raise SystemExit(f"unknown mode {args.mode}")
 

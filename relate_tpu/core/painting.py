@@ -544,11 +544,8 @@ class Painter:
                 self._G_pad = (jnp.asarray(Gp), GT, Npad)
         return self._G_pad
 
-    def _repaint_pallas(self, first_arr, last_arr, alpha0, beta_end,
-                        ls_base, targets) -> "PaintOutput":
-        """RePaintSection on the fused Pallas kernels (TPU backend)."""
-        from ..ops import paint_kernels
-
+    def _prep_pallas(self, targets, first_arr, last_arr, final_raw=None):
+        """Device plan (+padding metadata) for one Pallas window run."""
         if self._planner is None:
             self._planner = make_device_planner(self.model)
         B = len(targets)
@@ -573,26 +570,59 @@ class Painter:
         S_hi = S.astype(np.float32)
         S_lo = (S - S_hi.astype(np.float64)).astype(np.float32)
         fin = self.r[lst_p].astype(np.float32)
+        if final_raw is not None:
+            fin[:B] = np.asarray(final_raw, dtype=np.float32)
 
         idx_d, seqk_d, D_d, mismT, shifts, kmaskT = self._planner(
             Gd, GTd, jnp.asarray(S_hi), jnp.asarray(S_lo),
             jnp.asarray(tgt_p), jnp.asarray(fst_p), jnp.asarray(lst_p),
             jnp.asarray(fin), self.N, Dmax=Dmax)
-        pfacm1, nxtm1, pfacp1, nxtp1 = shifts
+        return dict(B=B, Bp=Bp, Npad=Npad, counts=counts,
+                    first=first_arr, last=last_arr,
+                    idx=idx_d, seqk=seqk_d, D=D_d, mismT=mismT,
+                    shifts=shifts, kmaskT=kmaskT)
 
-        a0 = np.zeros((Npad, Bp), dtype=np.float32)
-        a0[: self.N, :B] = np.asarray(alpha0, dtype=np.float32).T
-        be = np.zeros((Npad, Bp), dtype=np.float32)
-        be[: self.N, :B] = np.asarray(beta_end, dtype=np.float32).T
-        D2 = D_d[None, :]
+    def _pad_nb(self, arr, Npad, Bp):
+        """(B, N) host state -> (Npad, Bp) kernel layout."""
+        out = np.zeros((Npad, Bp), dtype=np.float32)
+        out[: self.N, : arr.shape[0]] = np.asarray(arr, np.float32).T
+        return jnp.asarray(out)
+
+    def _rows_of_sites(self, prep, targets, sites):
+        """Step-row index of absolute sites within a window plan, from
+        prefix counts (the plan's idx stays on device). Sites must be plan
+        steps (a boundary or a derived site of the target)."""
+        cumG = self._cum_counts()
+        sites = np.asarray(sites, dtype=np.int64)
+        first = prep["first"]
+        cnt = cumG[sites + 1, targets] - cumG[first + 1, targets]
+        rows = np.where(sites <= first, 0,
+                        np.where(sites >= prep["last"],
+                                 prep["counts"] + 1, cnt))
+        return rows.astype(np.int64)
+
+    def _repaint_pallas(self, first_arr, last_arr, alpha0, beta_end,
+                        ls_base, targets) -> "PaintOutput":
+        """RePaintSection on the fused Pallas kernels (TPU backend)."""
+        from ..ops import paint_kernels
+
+        prep = self._prep_pallas(targets, first_arr, last_arr)
+        B, Bp, Npad = prep["B"], prep["Bp"], prep["Npad"]
+        counts = prep["counts"]
+        pfacm1, nxtm1, pfacp1, nxtp1 = prep["shifts"]
+        kmaskT, mismT = prep["kmaskT"], prep["mismT"]
+        a0 = self._pad_nb(alpha0, Npad, Bp)
+        be = self._pad_nb(beta_end, Npad, Bp)
+        D2 = prep["D"][None, :]
         theta = float(self.model.theta)
         alphas, lsf = paint_kernels.fwd_pallas(
-            D2, jnp.asarray(a0), kmaskT, mismT, pfacm1, nxtm1, theta=theta)
+            D2, a0, kmaskT, mismT, pfacm1, nxtm1, theta=theta)
         topo, lstot = paint_kernels.bwd_pallas(
-            D2, jnp.asarray(be), kmaskT, mismT, pfacp1, nxtp1, alphas, lsf,
+            D2, be, kmaskT, mismT, pfacp1, nxtp1, alphas, lsf,
             theta=theta)
         topo_bn = _to_bn(topo, B, self.N)
         lstot = lstot[:, :B]
+        idx_d, seqk_d = prep["idx"], prep["seqk"]
 
         # idx/seqk stay on device — host transfers ride a slow tunnel, and
         # the only host consumer (distance.init_state) reads idx[:, 0] alone
@@ -685,6 +715,8 @@ class Painter:
         reference's full passes, single-window memory.
         """
         boundaries = np.asarray(boundaries)
+        if self._use_pallas() and len(boundaries) > 1:
+            return self._stones_pallas(boundaries)
         W = len(boundaries) - 1
         N = self.N
         targets = np.arange(N, dtype=np.int32)
@@ -733,6 +765,81 @@ class Painter:
             beta = np.asarray(self._extract(beta_all, rows))
             lsb = lsb + np.asarray(self._extract(lsb_all, rows),
                                    dtype=np.float64)
+
+        return [Checkpoint(alpha=alphas0[w], ls_alpha=lsa0[w], bsb=bsb[w],
+                           beta=betasW[w], ls_beta=lsbW[w], bse=bse[w])
+                for w in range(W)]
+
+    def _stones_pallas(self, boundaries: np.ndarray):
+        """Stepping-stone checkpoints on the Pallas kernels: same chained
+        window sweeps as the scan twin, with boundary rows extracted on
+        device (checkpoints come back as small (N, B) slabs)."""
+        from ..ops import paint_kernels
+
+        W = len(boundaries) - 1
+        N = self.N
+        targets = np.arange(N, dtype=np.int32)
+        bsb, bse = self.window_boundary_sites(boundaries)
+        theta = float(self.model.theta)
+
+        @jax.jit
+        def extract(arr3, lss, rows):
+            a = jnp.take_along_axis(arr3, rows[None, None, :], axis=0)[0]
+            l = jnp.take_along_axis(lss, rows[None, :], axis=0)[0]
+            return a, l
+
+        alphas0: list = [None] * W
+        lsa0: list = [None] * W
+        betasW: list = [None] * W
+        lsbW: list = [None] * W
+
+        alpha = initial_alpha(self.G_host, self.model, 0, targets)
+        lsa = np.zeros(N, dtype=np.float64)
+        for w in range(W):
+            alphas0[w] = alpha
+            lsa0[w] = lsa
+            if w == W - 1:
+                break
+            prep = self._prep_pallas(targets, bsb[w], bse[w])
+            pfacm1, nxtm1, _, _ = prep["shifts"]
+            a0 = self._pad_nb(alpha, prep["Npad"], prep["Bp"])
+            a_all, lsf = paint_kernels.fwd_pallas(
+                prep["D"][None, :], a0, prep["kmaskT"], prep["mismT"],
+                pfacm1, nxtm1, theta=theta)
+            rows = self._rows_of_sites(prep, targets, bsb[w + 1])
+            rows_p = np.zeros(prep["Bp"], dtype=np.int64)
+            rows_p[:N] = rows
+            av, lv = extract(a_all, lsf, jnp.asarray(rows_p))
+            alpha = np.asarray(av).T[:N, : self.N]
+            lsa = lsa + np.asarray(lv, dtype=np.float64)[:N]
+
+        Dtot = self.G_host[1:-1].sum(axis=0).astype(np.int64) + 2
+        beta = np.ones((N, N), dtype=np.float32)
+        lsb = normalizing_constant(self.model, Dtot).astype(np.float64)
+        for w in range(W - 1, -1, -1):
+            betasW[w] = beta
+            lsbW[w] = lsb
+            if w == 0:
+                break
+            final_raw = self._extended_final_raw(bse[w])
+            prep = self._prep_pallas(targets, bsb[w], bse[w],
+                                     final_raw=final_raw)
+            pfacm1, nxtm1, pfacp1, nxtp1 = prep["shifts"]
+            a0 = self._pad_nb(alphas0[w], prep["Npad"], prep["Bp"])
+            be = self._pad_nb(beta, prep["Npad"], prep["Bp"])
+            D2 = prep["D"][None, :]
+            a_all, lsf = paint_kernels.fwd_pallas(
+                D2, a0, prep["kmaskT"], prep["mismT"], pfacm1, nxtm1,
+                theta=theta)
+            beta_all, lsb_all = paint_kernels.bwd_pallas(
+                D2, be, prep["kmaskT"], prep["mismT"], pfacp1, nxtp1,
+                a_all, lsf, theta=theta, emit_beta=True)
+            rows = self._rows_of_sites(prep, targets, bse[w - 1])
+            rows_p = np.zeros(prep["Bp"], dtype=np.int64)
+            rows_p[:N] = rows
+            bv, lv = extract(beta_all, lsb_all, jnp.asarray(rows_p))
+            beta = np.asarray(bv).T[:N, : self.N]
+            lsb = lsb + np.asarray(lv, dtype=np.float64)[:N]
 
         return [Checkpoint(alpha=alphas0[w], ls_alpha=lsa0[w], bsb=bsb[w],
                            beta=betasW[w], ls_beta=lsbW[w], bse=bse[w])

@@ -106,7 +106,7 @@ def _fwd_kernel(D_ref, alpha0_ref, kmask_ref, mism_ref, pfacm1_ref,
 def _bwd_kernel(D_ref, beta_end_ref, kmask_ref, mism_ref, mism_nxt_ref,
                 pfacp1_ref, nxtp1_ref, alphas_ref, lsf_ref,
                 topo_out, lstot_out, beta_scr, pls_scr, plsc_scr, bsum_scr,
-                *, theta, K):
+                *, theta, K, emit_beta=False):
     """Backward + fused posterior, iterating physical rows descending.
 
     Matches the scan twin on valid rows: a target joins at its own last
@@ -181,8 +181,14 @@ def _bwd_kernel(D_ref, beta_end_ref, kmask_ref, mism_ref, mism_nxt_ref,
         pls = jnp.where(active, pls_new, pls_c)
         comp = jnp.where(active, comp_new, comp_c)
         bsum_eff = jnp.where(active, bsum_new, bsum_c)
-        topo_out[kk] = jnp.where(active, topo, 0.0)
-        lstot_out[kk] = jnp.where(active, ls_row, 0.0)
+        if emit_beta:
+            # stepping-stone extraction wants the post-rescale beta row and
+            # the backward-only logscale (fast_painting.cpp:587-601)
+            topo_out[kk] = jnp.where(active, beta_fin, 0.0)
+            lstot_out[kk] = jnp.where(active, pls_new, 0.0)
+        else:
+            topo_out[kk] = jnp.where(active, topo, 0.0)
+            lstot_out[kk] = jnp.where(active, ls_row, 0.0)
     beta_scr[:, :] = beta
     pls_scr[:, :] = pls
     plsc_scr[:, :] = comp
@@ -248,9 +254,10 @@ def fwd_pallas(D, alpha0, kmask, mism, pfacm1, nxtm1, *, theta,
     return alphas, lss3[:, 0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("theta", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("theta", "interpret", "emit_beta"))
 def bwd_pallas(D, beta_end, kmask, mism, pfacp1, nxtp1, alphas, lsf, *,
-               theta, interpret=False):
+               theta, interpret=False, emit_beta=False):
     """Backward + posterior sweep. pfacp1/nxtp1 (Dmax,B): interval j+1 at
     row j. alphas/lsf: the forward outputs. Returns topo (Dmax,N,B) f32
     (zeros on rows >= D[b]), lstot (Dmax,B) f32."""
@@ -265,7 +272,8 @@ def bwd_pallas(D, beta_end, kmask, mism, pfacp1, nxtp1, alphas, lsf, *,
     # NOTE: index units are rows for this spec (block shape (1, N, TB)).
     nxt_row = lambda t, i: (jnp.minimum((nblk - i) * K, Dmax - 1), 0, t)
     topo, lstot3 = pl.pallas_call(
-        functools.partial(_bwd_kernel, theta=theta, K=K),
+        functools.partial(_bwd_kernel, theta=theta, K=K,
+                          emit_beta=emit_beta),
         out_shape=(jax.ShapeDtypeStruct((Dmax, N, B), jnp.float32),
                    jax.ShapeDtypeStruct((Dmax, 1, B), jnp.float32)),
         grid=grid,

@@ -238,9 +238,11 @@ FINAL_MUT_HEADER = ("snp;pos_of_snp;dist;rs-id;tree_index;branch_indices;"
                     "ancestral_allele/alternative_allele;")
 
 
-def write_mut_final(path: str, rows: List[str]):
+def write_mut_final(path: str, rows: List[str], extra_header: str = ""):
+    """``extra_header`` is the .annot header appended to the standard one
+    when Finalize joins annotations (Finalize.cpp:97-99)."""
     with open(path, "w") as f:
-        f.write(FINAL_MUT_HEADER + "\n")
+        f.write(FINAL_MUT_HEADER + extra_header + "\n")
         for r in rows:
             f.write(r + "\n")
 

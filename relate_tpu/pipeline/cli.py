@@ -21,7 +21,8 @@ def build_parser():
     p.add_argument("--mode", required=True,
                    choices=["All", "MakeChunks", "Paint", "BuildTopology",
                             "FindEquivalentBranches", "InferBranchLengths",
-                            "CombineSections", "Finalize", "Clean"])
+                            "CombineSections", "Finalize", "PostProcess",
+                            "OptimizeParameters", "Clean"])
     p.add_argument("--haps")
     p.add_argument("--sample")
     p.add_argument("--map", dest="map_path")
@@ -42,6 +43,17 @@ def build_parser():
     p.add_argument("--anc_allele_unknown", action="store_true")
     p.add_argument("--transversion", action="store_true")
     p.add_argument("--fb", type=int, default=0)
+    # --painting "theta,rho" overrides the painting parameters
+    # (Paint.cpp:38-61); rho multiplies the per-SNP recombination rates
+    p.add_argument("--painting",
+                   type=lambda s: tuple(map(float, s.split(","))))
+    p.add_argument("--postprocess", action="store_true")
+    p.add_argument("--randomise", action="store_true")
+    # OptimizeParameters --input: line 1 thetas, line 2 rho factors
+    p.add_argument("--input")
+    # Finalize: where the stage artifacts live. Defaults to <output>.tmpdir
+    # (the run_all layout); the per-stage flow passes the MakeChunks -o dir
+    p.add_argument("--store")
     return p
 
 
@@ -62,32 +74,44 @@ def main(argv=None):
     out = args.output
     mode = args.mode
     coal = read_coal_file(args.coal) if args.coal else None
+    theta = args.theta
+    rho_scale = 1.0
+    if args.painting:
+        theta, rho_scale = args.painting
 
     if mode == "All":
         relate.run_all(args.haps, args.sample, args.map_path, out,
                        Ne=args.effectiveN, mu=args.mutation_rate,
                        seed=args.seed, memory_gb=args.memory,
-                       theta=args.theta, dist_path=args.dist,
+                       theta=theta, dist_path=args.dist,
                        use_transitions=not args.transversion,
-                       sample_ages_path=args.sample_ages, coal=coal)
+                       sample_ages_path=args.sample_ages, coal=coal,
+                       rho_scale=rho_scale, postprocess=args.postprocess,
+                       annot_path=args.annot)
         return 0
 
-    store = ArtifactStore(out if mode != "Finalize" else out + ".tmpdir")
+    store = ArtifactStore(args.store if args.store else
+                          (out if mode != "Finalize" else out + ".tmpdir"))
     if mode == "MakeChunks":
         relate.make_chunks(args.haps, args.sample, args.map_path, out,
                            args.memory, args.dist, not args.transversion,
                            args.sample_ages)
     elif mode == "Paint":
-        relate.paint(store, args.chunk_index, args.theta)
+        relate.paint(store, args.chunk_index, theta, rho_scale=rho_scale)
     elif mode == "BuildTopology":
         relate.build_topology(store, args.chunk_index, seed=args.seed,
-                              theta=args.theta,
+                              theta=theta, rho_scale=rho_scale,
                               mode=0 if args.no_consistency else 1,
                               ancestral_state=not args.anc_allele_unknown,
                               fb=args.fb,
                               first_section=args.first_section,
                               last_section=args.last_section)
     elif mode == "FindEquivalentBranches":
+        relate.find_equivalent_branches(store, args.chunk_index)
+    elif mode == "PostProcess":
+        # PostProcess + re-association, matching Relate.cpp:296-302
+        relate.post_process_chunk(store, args.chunk_index, seed=args.seed,
+                                  randomise=args.randomise)
         relate.find_equivalent_branches(store, args.chunk_index)
     elif mode == "InferBranchLengths":
         epochs, rates = coal if coal else (None, None)
@@ -99,8 +123,17 @@ def main(argv=None):
                                     last_section=args.last_section)
     elif mode == "CombineSections":
         relate.combine_sections(store, args.chunk_index)
+    elif mode == "OptimizeParameters":
+        thetas = rhos = None
+        if args.input:
+            thetas, rhos = relate.read_opt_grid(args.input)
+        results = relate.optimize_parameters(store, args.chunk_index,
+                                             thetas=thetas,
+                                             rho_scales=rhos,
+                                             seed=args.seed)
+        relate.write_opt(out + ".opt", results)
     elif mode == "Finalize":
-        relate.finalize(store, out)
+        relate.finalize(store, out, annot_path=args.annot)
     elif mode == "Clean":
         import shutil
         shutil.rmtree(out + ".tmpdir", ignore_errors=True)

@@ -22,10 +22,16 @@ from ..core.trees import AncesTree
 
 def post_process(anc: AncesTree, muts: List[MutationRecord],
                  G: np.ndarray, bp: np.ndarray,
-                 window_snps: int = 200) -> int:
+                 window_snps: int = 200, seed: int = 1,
+                 randomise: bool = False) -> int:
     """Refine zero-event internal branches by NNI; returns the number of
     rearranged nodes. Mutates ``anc`` in place; mutation records whose
-    branch clades changed keep their branch ids (ids are positional)."""
+    branch clades changed keep their branch ids (ids are positional).
+
+    With ``randomise`` (PostProcess.cpp's --randomise), unsupported
+    branches pick one of the three NNI resolutions uniformly at random
+    instead of by closest supporting SNP."""
+    rng = np.random.default_rng(seed)
     num_updated = 0
     L = G.shape[0]
     for t, mt in enumerate(anc.seq):
@@ -59,19 +65,26 @@ def post_process(anc: AncesTree, muts: List[MutationRecord],
                     return np.inf
                 return np.abs(snp_pos[match] - center).min()
 
-            d12 = closest_support(n1, n2)   # current arrangement
-            d13 = closest_support(n1, n3)
-            d23 = closest_support(n2, n3)
-            best = min(d12, d13, d23)
-            if not np.isfinite(best):
-                continue
-            if d13 == best and d13 < d12:
-                keep, move = n1, n3
-            elif d23 == best and d23 < d12:
-                keep, move = n2, n3
+            if randomise:
+                choice = rng.integers(3)
+                if choice == 0:
+                    tree.num_events[i] = 1.0
+                    continue
+                keep, move = (n1, n3) if choice == 1 else (n2, n3)
             else:
-                tree.num_events[i] = 1.0
-                continue
+                d12 = closest_support(n1, n2)   # current arrangement
+                d13 = closest_support(n1, n3)
+                d23 = closest_support(n2, n3)
+                best = min(d12, d13, d23)
+                if not np.isfinite(best):
+                    continue
+                if d13 == best and d13 < d12:
+                    keep, move = n1, n3
+                elif d23 == best and d23 < d12:
+                    keep, move = n2, n3
+                else:
+                    tree.num_events[i] = 1.0
+                    continue
             # rearrange: i's children become (keep, move); the displaced
             # child pairs with i under parent
             displaced = n2 if keep == n1 else n1

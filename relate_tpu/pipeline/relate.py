@@ -195,9 +195,46 @@ def combine_sections(store: ArtifactStore, c: int):
     ancmut.write_mut_short(store.path(f"chunk_{c}", "combined.mut"), muts)
 
 
-def finalize(store: ArtifactStore, output: str, cleanup: bool = False):
+def post_process_chunk(store: ArtifactStore, c: int, seed: int = 1,
+                       randomise: bool = False):
+    """Topology post-processing of a chunk's sections (pipeline/
+    PostProcess.cpp:311,980): NNI-refine unsupported branches against the
+    local carrier sets, then let the caller re-run
+    find_equivalent_branches (Relate.cpp:276-279 re-associates after
+    PostProcess inside --mode All)."""
+    from .postprocess import post_process
+    ch = store.load_chunk(c)
+    W = ch.windows.num_windows
+    total = 0
+    for w in range(W):
+        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
+        muts = ancmut.read_mut_short(store.path(f"chunk_{c}",
+                                                f"muts_{w}.mut"))
+        total += post_process(anc, muts, ch.G, ch.bp, seed=seed + w,
+                              randomise=randomise)
+        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"), anc)
+        ancmut.get_age(anc, muts)
+        ancmut.write_mut_short(store.path(f"chunk_{c}", f"muts_{w}.mut"),
+                               muts)
+    return total
+
+
+def _read_annot(path: str):
+    """Read a .annot file: header line + one row per SNP
+    (Finalize.cpp:61-84 joins these onto the final .mut)."""
+    from ..io.haps import smart_open
+    with smart_open(path) as f:
+        header = f.readline().rstrip("\n")
+        rows = [line.rstrip("\n") for line in f]
+    return header, rows
+
+
+def finalize(store: ArtifactStore, output: str, cleanup: bool = False,
+             annot_path: Optional[str] = None):
     """Merge chunks dropping half-overlaps, write final text .anc/.mut
-    (pipeline/Finalize.cpp:107-290)."""
+    (pipeline/Finalize.cpp:107-290). With ``annot_path``, each kept SNP's
+    annotation row is appended to its .mut line and the annot header to the
+    .mut header (Finalize.cpp:98-183)."""
     plan, _ = store.load_plan()
     props = np.load(store.path("props.npz"), allow_pickle=False)
     rsid = props["rsid"]
@@ -205,6 +242,11 @@ def finalize(store: ArtifactStore, output: str, cleanup: bool = False):
     alt_al = props["alternative"]
     bp = props["bp"]
     dist = props["dist"]
+
+    annot_header = None
+    annot_rows = None
+    if annot_path:
+        annot_header, annot_rows = _read_annot(annot_path)
 
     mut_rows: List[str] = []
     out_trees: List[MarginalTree] = []
@@ -238,11 +280,14 @@ def finalize(store: ArtifactStore, output: str, cleanup: bool = False):
                 num_flips += 1
             tree_out = m.tree - first_tree + num_trees_cum
             br = " ".join(str(b) for b in m.branch)
-            mut_rows.append(
+            row = (
                 f"{snp};{bp[snp]};{dist[snp]};{rsid[snp]};{tree_out};{br};"
                 f"{1 if m.is_not_mapping else 0};{int(m.flipped)};"
                 f"{ancmut._fmt_g(m.age_begin)};{ancmut._fmt_g(m.age_end)};"
                 f"{anc_al[snp]}/{alt_al[snp]};")
+            if annot_rows is not None and snp < len(annot_rows):
+                row += annot_rows[snp]
+            mut_rows.append(row)
 
         # ---- trees ---------------------------------------------------
         seq = list(anc.seq)
@@ -268,7 +313,8 @@ def finalize(store: ArtifactStore, output: str, cleanup: bool = False):
 
     final = AncesTree(N=plan.N, seq=out_trees, sample_ages=sample_ages)
     ancmut.write_anc_text(output + ".anc", final)
-    ancmut.write_mut_final(output + ".mut", mut_rows)
+    ancmut.write_mut_final(output + ".mut", mut_rows,
+                           extra_header=annot_header or "")
     if cleanup:
         shutil.rmtree(store.outdir, ignore_errors=True)
     return num_non_mapping, num_flips
@@ -280,8 +326,15 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
             dist_path: Optional[str] = None, use_transitions: bool = True,
             sample_ages_path: Optional[str] = None,
             coal: Optional[tuple] = None, cleanup: bool = True,
-            verbose: bool = True):
-    """Relate --mode All (pipeline/Relate.cpp:257-287)."""
+            verbose: bool = True, rho_scale: float = 1.0,
+            postprocess: bool = False, annot_path: Optional[str] = None):
+    """Relate --mode All (pipeline/Relate.cpp:257-287).
+
+    ``rho_scale`` applies the reference's ``--painting theta,rho`` override
+    (Paint.cpp:38-61) to both Paint and BuildTopology; ``postprocess``
+    inserts the optional PostProcess + re-association stage
+    (Relate.cpp:276-279); ``annot_path`` joins annotations into the final
+    .mut (Finalize.cpp:98-183)."""
     store = ArtifactStore(output + ".tmpdir")
     plan = make_chunks(haps_path, sample_path, map_path, store.outdir,
                        memory_gb, dist_path, use_transitions,
@@ -294,23 +347,51 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
     for c in range(plan.num_chunks):
         if verbose:
             print(f"[relate] chunk {c}: paint")
-        paint(store, c, theta)
+        paint(store, c, theta, rho_scale=rho_scale)
         if verbose:
             print(f"[relate] chunk {c}: build topology")
-        build_topology(store, c, seed=seed, theta=theta)
+        build_topology(store, c, seed=seed, theta=theta,
+                       rho_scale=rho_scale)
         if verbose:
             print(f"[relate] chunk {c}: associate branches")
         find_equivalent_branches(store, c)
+        if postprocess:
+            if verbose:
+                print(f"[relate] chunk {c}: post-process")
+            post_process_chunk(store, c, seed=seed)
+            find_equivalent_branches(store, c)
         if verbose:
             print(f"[relate] chunk {c}: infer branch lengths")
         infer_branch_lengths(store, c, Ne=Ne, mu=mu, seed=seed,
                              epochs=epochs, rates=rates)
         combine_sections(store, c)
-    nnm, nfl = finalize(store, output, cleanup=cleanup)
+    nnm, nfl = finalize(store, output, cleanup=cleanup,
+                        annot_path=annot_path)
     if verbose:
         print(f"[relate] Number of not mapping SNPs: {nnm}")
         print(f"[relate] Number of flipped SNPs    : {nfl}")
     return output
+
+
+def read_opt_grid(path: str):
+    """Parse an OptimizeParameters --input grid file: line 1 = theta values
+    in (0,1), line 2 = recombination factors
+    (OptimizeParameters.cpp:81-113)."""
+    with open(path) as f:
+        thetas = [float(x) for x in f.readline().split()]
+        rhos = [float(x) for x in f.readline().split()]
+    for t in thetas:
+        if not 0.0 < t < 1.0:
+            raise ValueError("theta value has to be in (0,1)")
+    return thetas, rhos
+
+
+def write_opt(path: str, results):
+    """Write the .opt grid-search output: one 'theta rho num_notmapping'
+    line per combination (OptimizeParameters.cpp:183-189)."""
+    with open(path, "w") as f:
+        for theta, rho, score in results:
+            f.write(f"{theta:g} {rho:g} {score:g}\n")
 
 
 def optimize_parameters(store: ArtifactStore, c: int,
@@ -330,7 +411,7 @@ def optimize_parameters(store: ArtifactStore, c: int,
     if thetas is None:
         thetas = [1e-4, 1e-3, 1e-2, 1e-1]
     if rho_scales is None:
-        rho_scales = [0.001, 0.01, 0.1, 1.0, 10.0, 100.0]
+        rho_scales = [0.001, 0.1, 1.0, 10.0, 100.0]
     ch = store.load_chunk(c)
     bounds = ch.windows.boundaries
     start = bounds[section]
@@ -354,9 +435,9 @@ def optimize_parameters(store: ArtifactStore, c: int,
                     dstate = assembler.advance(dstate, snp, carriers)
                 if len(carriers) == 0 or len(carriers) == ch.N:
                     continue
-                mat = assembler.get_matrix(
+                mat = np.array(assembler.get_matrix(
                     paint, dstate, snp,
-                    is_first_or_last=(snp in (0, ch.L - 1)))
+                    is_first_or_last=(snp in (0, ch.L - 1))))
                 # cancel the current SNP's own signal
                 # (anc_builder.cpp:869-881)
                 mask = ch.G[snp] == 1

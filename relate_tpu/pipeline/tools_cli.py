@@ -17,6 +17,27 @@ def _load_pair(prefix):
     return _load_pair(prefix)
 
 
+def _merged_mut_rows(recs, bp, dist, rsid, alleles,
+                     extra_bp, extra_recs, extra_rsid, extra_alleles):
+    """Interleave existing mutation records with newly-mapped extra SNPs by
+    position; extras carry dist=0 (GetTreeOfInterest.cpp:250-259)."""
+    from ..io import ancmut
+    items = [(int(bp[i]), recs[i], int(dist[i]), rsid[i], alleles[i])
+             for i in range(len(bp))]
+    items += [(int(extra_bp[i]), extra_recs[i], 0, extra_rsid[i],
+               extra_alleles[i]) for i in range(len(extra_bp))]
+    items.sort(key=lambda t: t[0])
+    rows = []
+    for snp, (pos, m, d, rs, al) in enumerate(items):
+        br = " ".join(str(b) for b in m.branch)
+        rows.append(
+            f"{snp};{pos};{d};{rs};{m.tree};{br};"
+            f"{1 if len(m.branch) != 1 else 0};{int(m.flipped)};"
+            f"{ancmut._fmt_g(m.age_begin)};{ancmut._fmt_g(m.age_end)};"
+            f"{al};")
+    return rows
+
+
 def coalescent_rate(args):
     from ..evaluate import coalrate
     from .scripts import estimate_population_size
@@ -134,8 +155,7 @@ def mutation_rate_summary(args):
     RelateMutationRate.cpp:3453-3634). ``--input`` is a comma-separated
     list of per-chromosome output prefixes."""
     from ..evaluate import mutrate
-    suffix = "_bycat.npz" if "ForCategory" in args.mode or \
-        args.mode == "XY" else "_avg.npz"
+    suffix = "_bycat.npz" if "ForCategory" in args.mode else "_avg.npz"
     parts = [np.load(p + suffix, allow_pickle=True)
              for p in args.input.split(",")]
     epochs = parts[0]["epochs"]
@@ -204,6 +224,28 @@ def extract_tool(args):
         extract.convert_newick_to_timeb(args.input + ".newick",
                                         args.output + ".timeb")
         return
+    if args.mode == "CombineAncMut":
+        # inverse of DivideAncMut: chunks live at <output>_chr<i>; their
+        # per-chunk metadata is concatenated, NOT taken from --input
+        # (extract/AncMutChunks.cpp:214-325)
+        import os
+        from .scripts import _load_pair as lp, _dump_pair
+        parts, bps, dists, rsids, alls = [], [], [], [], []
+        i = 1
+        while os.path.exists(f"{args.output}_chr{i}.anc"):
+            a, m, b, d, r, al = lp(f"{args.output}_chr{i}")
+            parts.append((a, m))
+            bps.append(b)
+            dists.append(d)
+            rsids.extend(r)
+            alls.extend(al)
+            i += 1
+        if not parts:
+            raise SystemExit(f"no chunks found at {args.output}_chr1.anc")
+        anc2, recs2 = extract.combine_anc_mut(parts)
+        _dump_pair(args.output, anc2, recs2, np.concatenate(bps),
+                   np.concatenate(dists), rsids, alls)
+        return
     anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
     if args.mode == "AncToNewick":
         nw = extract.anc_to_newick(anc, recs, bp, args.first_bp,
@@ -245,21 +287,27 @@ def extract_tool(args):
                        dist[off:off + n], rsid[off:off + n],
                        alleles[off:off + n])
             off += n
-    elif args.mode == "CombineAncMut":
-        parts = []
-        i = 1
-        import os
-        from .scripts import _load_pair as lp, _dump_pair
-        while os.path.exists(f"{args.output}_chr{i}.anc"):
-            a, m, *_ = lp(f"{args.output}_chr{i}")
-            parts.append((a, m))
-            i += 1
-        anc2, recs2 = extract.combine_anc_mut(parts)
-        _dump_pair(args.output, anc2, recs2, bp, dist, rsid, alleles)
     elif args.mode == "MapMutations":
-        anc2, recs2 = extract.map_extra_mutations(anc, recs, bp, dist)
-        from .scripts import _dump_pair
-        _dump_pair(args.output, anc2, recs2, bp, dist, rsid, alleles)
+        # read extra SNPs from a second haps/sample pair, map each onto the
+        # tree covering its position, and write a merged .mut — SNPs at
+        # already-existing positions are skipped
+        # (extract/GetTreeOfInterest.cpp:128-290)
+        if not args.haps or not args.sample:
+            raise SystemExit("MapMutations needs --haps and --sample for "
+                             "the extra SNPs")
+        from ..io import haps as hio
+        data = hio.read_haps(args.haps, args.sample)
+        new = ~np.isin(data.bp, bp)
+        extras = extract.map_extra_mutations(
+            anc, recs, bp, data.bp[new], data.genotypes[new])
+        rows = _merged_mut_rows(
+            recs, bp, dist, rsid, alleles,
+            data.bp[new], extras,
+            [data.rsid[i] for i in np.nonzero(new)[0]],
+            [f"{data.ancestral[i]}/{data.alternative[i]}"
+             for i in np.nonzero(new)[0]])
+        from ..io import ancmut as _ancmut
+        _ancmut.write_mut_final(args.output + ".mut", rows)
     elif args.mode == "UnlinkTips":
         tips = [int(x) for x in args.pop_of_interest.split(",") if x]
         anc2 = extract.unlink_tips(anc, tips)
@@ -334,8 +382,13 @@ def fileformats_tool(args):
             data, _ = fileformats.flip_haps_using_ancestor(data, anc_seq)
         else:
             anc_seq = hio.read_fasta(args.ancestor) if args.ancestor else None
-            fileformats.generate_snp_annotations(
-                data, anc_seq, args.output + ".annot")
+            pl = hio.read_poplabels(args.poplabels) if args.poplabels \
+                else None
+            header, rows = fileformats.generate_snp_annotations(
+                data, anc_seq, pl)
+            with open(args.output + ".annot", "w") as f:
+                f.write(header + "\n")
+                f.write("\n".join(rows) + "\n")
             return
         fileformats.write_haps(data, args.output)
     elif args.mode in ("ConvertToTreeSequence", "ConvertToTreeSequenceTxt"):
@@ -360,15 +413,39 @@ def fileformats_tool(args):
 
 
 def treeview_tool(args):
+    """RelateTreeView twin — all four modes
+    (treeview/RelateTreeView.cpp:29-44)."""
     from ..io import treeview
     anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
-    t = treeview.tree_at_bp(anc, recs, bp, args.bp_of_interest)
-    treeview.write_plot_coords(args.output + ".coords", anc, recs, t)
-    try:
-        treeview.render_tree(anc.seq[t].tree, args.output + ".png",
-                             anc.sample_ages)
-    except ImportError:
-        pass
+    mode = args.mode or "TreeView"
+    if mode in ("TreeView", "TreeViewSample"):
+        t = treeview.tree_at_bp(anc, recs, bp, args.bp_of_interest)
+        treeview.write_plot_coords(args.output + ".coords", anc, recs, t)
+        try:
+            treeview.render_tree(anc.seq[t].tree, args.output + ".png",
+                                 anc.sample_ages)
+        except ImportError:
+            pass
+    elif mode == "MutationsOnBranches":
+        t = treeview.tree_at_bp(anc, recs, bp, args.bp_of_interest)
+        by_branch = treeview.mutations_on_branches(anc, recs, t)
+        with open(args.output + ".muts", "w") as f:
+            f.write("branch snp pos\n")
+            for b in sorted(by_branch):
+                for snp in by_branch[b]:
+                    f.write(f"{b} {snp} {bp[snp]}\n")
+    elif mode == "BranchesBelowMutation":
+        snp = int(np.searchsorted(bp, args.bp_of_interest, side="right")) - 1
+        snp = min(max(snp, 0), len(recs) - 1)
+        nodes = treeview.branches_below_mutation(anc, recs, snp)
+        tree = anc.seq[recs[snp].tree].tree
+        coords = tree.coordinates(anc.sample_ages)
+        with open(args.output + ".branches", "w") as f:
+            f.write("node parent age\n")
+            for v in nodes:
+                f.write(f"{v} {tree.parent[v]} {coords[v]:g}\n")
+    else:
+        raise SystemExit(f"unknown mode {mode}")
 
 
 def main(argv=None):
@@ -378,6 +455,8 @@ def main(argv=None):
                                     "FileFormats"])
     p.add_argument("--mode", default="")
     p.add_argument("-i", "--input", required=True)
+    p.add_argument("--haps")
+    p.add_argument("--sample")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-m", "--mutation_rate", type=float, default=1.25e-8)
     p.add_argument("-N", "--effectiveN", type=float, default=3e4)

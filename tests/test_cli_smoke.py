@@ -1,0 +1,286 @@
+"""Smoke tests: every CLI tool x mode must execute and write its output.
+
+The reference exposes ~50 tool modes across Relate / RelateCoalescentRate /
+RelateMutationRate / RelateSelection / RelateExtract / RelateFileFormats /
+RelateTreeView; this parametrized suite invokes each of ours on a tiny
+synthetic panel so wiring rot (wrong arity, wrong unpacking) fails CI
+instead of the first user.
+"""
+import gzip
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from relate_tpu.pipeline import cli, tools_cli
+from relate_tpu.utils.synth import (synth_panel, write_flat_map,
+                                    write_haps_sample)
+
+N, L = 8, 400
+
+
+@pytest.fixture(scope="module")
+def panel(tmp_path_factory):
+    """Tiny panel + a finished run_all prefix every tool can consume."""
+    d = tmp_path_factory.mktemp("cli")
+    G, bp = synth_panel(N, L, seed=3)
+    prefix = str(d / "toy")
+    write_haps_sample(G, bp, prefix)
+    write_flat_map(prefix + ".map", int(bp[-1]))
+    # gzip copies for tools that expect .gz
+    for ext in (".haps", ".sample"):
+        with open(prefix + ext, "rb") as fin, \
+                gzip.open(prefix + ext + ".gz", "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+    with open(d / "pop.poplabels", "w") as f:
+        f.write("sample population group sex\n")
+        for i in range(N // 2):
+            f.write(f"s{i} P{'AB'[i % 2]} G{'AB'[i % 2]} NA\n")
+    # ancestor fasta covering all bps
+    with open(d / "anc.fasta", "w") as f:
+        f.write(">1\n" + "A" * (int(bp[-1]) + 2) + "\n")
+    out = str(d / "toyrun")
+    cwd = os.getcwd()
+    os.chdir(d)
+    try:
+        cli.main(["--mode", "All", "--haps", prefix + ".haps",
+                  "--sample", prefix + ".sample", "--map", prefix + ".map",
+                  "-o", out, "--seed", "1"])
+    finally:
+        os.chdir(cwd)
+    assert os.path.exists(out + ".anc") and os.path.exists(out + ".mut")
+    return {"dir": d, "prefix": prefix, "run": out,
+            "poplabels": str(d / "pop.poplabels"),
+            "ancestor": str(d / "anc.fasta"), "bp": bp, "G": G}
+
+
+def _tool(panel, tool, mode, extra=(), inp=None, out_suffix=None):
+    out = str(panel["dir"] / f"out_{tool}_{mode}")
+    rc = tools_cli.main([tool, "--mode", mode,
+                         "-i", inp or panel["run"], "-o", out,
+                         *extra])
+    assert rc == 0
+    return out
+
+
+# ---------------------------------------------------------------- Relate CLI
+
+def test_relate_stage_modes(panel, tmp_path):
+    """Per-stage Relate modes on a fresh working dir (Relate.cpp:60-314)."""
+    p = panel["prefix"]
+    store = str(tmp_path / "stages")
+    cli.main(["--mode", "MakeChunks", "--haps", p + ".haps", "--sample",
+              p + ".sample", "--map", p + ".map", "-o", store])
+    cli.main(["--mode", "Paint", "-o", store, "--chunk_index", "0"])
+    cli.main(["--mode", "BuildTopology", "-o", store, "--chunk_index", "0",
+              "--seed", "1"])
+    cli.main(["--mode", "FindEquivalentBranches", "-o", store,
+              "--chunk_index", "0"])
+    cli.main(["--mode", "PostProcess", "-o", store, "--chunk_index", "0"])
+    cli.main(["--mode", "InferBranchLengths", "-o", store,
+              "--chunk_index", "0", "--seed", "1"])
+    cli.main(["--mode", "CombineSections", "-o", store,
+              "--chunk_index", "0"])
+    final = str(tmp_path / "final")
+    cli.main(["--mode", "Finalize", "-o", final, "--store", store])
+    assert os.path.exists(final + ".anc") and os.path.exists(final + ".mut")
+    cli.main(["--mode", "Clean", "-o", store])
+
+
+def test_relate_all_with_painting_override_and_postprocess(panel, tmp_path):
+    p = panel["prefix"]
+    out = str(tmp_path / "runpp")
+    cli.main(["--mode", "All", "--haps", p + ".haps", "--sample",
+              p + ".sample", "--map", p + ".map", "-o", out, "--seed", "1",
+              "--painting", "0.001,1", "--postprocess"])
+    assert os.path.exists(out + ".anc")
+
+
+def test_optimize_parameters_writes_opt(panel, tmp_path):
+    p = panel["prefix"]
+    store = str(tmp_path / "opt_store")
+    cli.main(["--mode", "MakeChunks", "--haps", p + ".haps", "--sample",
+              p + ".sample", "--map", p + ".map", "-o", store])
+    grid = tmp_path / "grid.txt"
+    grid.write_text("0.001\n1.0\n")
+    out = str(tmp_path / "opt")
+    cli.main(["--mode", "OptimizeParameters", "-o", out, "--store", store,
+              "--chunk_index", "0", "--input", str(grid)])
+    with open(out + ".opt") as f:
+        lines = [x.split() for x in f if x.strip()]
+    assert len(lines) == 1 and float(lines[0][0]) == 0.001
+
+
+def test_finalize_annot_join(panel, tmp_path):
+    """--annot joins annotation rows into the final .mut
+    (Finalize.cpp:98-183)."""
+    annot = tmp_path / "toy.annot"
+    with open(annot, "w") as f:
+        f.write("upstream_allele;downstream_allele;\n")
+        for i in range(L):
+            f.write("A;C;\n")
+    p = panel["prefix"]
+    out = str(tmp_path / "runannot")
+    cli.main(["--mode", "All", "--haps", p + ".haps", "--sample",
+              p + ".sample", "--map", p + ".map", "-o", out, "--seed", "1",
+              "--annot", str(annot)])
+    with open(out + ".mut") as f:
+        header = f.readline()
+        row = f.readline()
+    assert header.count("upstream_allele") == 1
+    assert row.rstrip("\n").endswith("A;C;")
+
+
+# ----------------------------------------------------------- CoalescentRate
+
+@pytest.mark.parametrize("mode,extra", [
+    ("EstimatePopulationSize", ()),
+    ("CoalRateForTree", ()),
+    ("GenerateConstCoalFile", ()),
+])
+def test_coalescent_rate_modes(panel, mode, extra):
+    _tool(panel, "CoalescentRate", mode, extra)
+
+
+@pytest.mark.parametrize("mode,extra", [
+    ("ReEstimateBranchLengths", ()),
+    ("SampleBranchLengths", ("--num_samples", "2")),
+])
+def test_coalescent_rate_mcmc_modes(panel, mode, extra):
+    # these require a .coal prior (ReEstimateBranchLengths.cpp:144-232)
+    coal = str(panel["dir"] / "const")
+    tools_cli.main(["CoalescentRate", "--mode", "GenerateConstCoalFile",
+                    "-i", panel["run"], "-o", coal, "-N", "30000"])
+    _tool(panel, "CoalescentRate", mode,
+          (*extra, "--coal", coal + ".coal"))
+
+
+# -------------------------------------------------------------- MutationRate
+
+def test_mutation_rate_avg_then_summaries(panel):
+    out1 = _tool(panel, "MutationRate", "Avg")
+    # genome-level modes consume per-chromosome npz prefixes
+    for mode in ("SummarizeForGenome", "Finalize", "FinalizeMutationCount"):
+        out = str(panel["dir"] / f"out_MutationRate_{mode}")
+        rc = tools_cli.main(["MutationRate", "--mode", mode,
+                             "-i", out1, "-o", out])
+        assert rc == 0
+    rc = tools_cli.main(["MutationRate", "--mode", "XY",
+                         "-i", f"{out1},{out1}",
+                         "-o", str(panel["dir"] / "out_xy")])
+    assert rc == 0
+
+
+def test_mutation_rate_context_and_density(panel):
+    _tool(panel, "MutationRate", "WithContext",
+          ("--ancestor", panel["ancestor"]))
+    _tool(panel, "MutationRate", "MutationDensity")
+
+
+# ----------------------------------------------------------------- Selection
+
+@pytest.mark.parametrize("mode", ["Frequency", "Selection", "Quality",
+                                  "SDS", "FreqDiff"])
+def test_selection_modes(panel, mode):
+    _tool(panel, "Selection", mode)
+
+
+# ------------------------------------------------------------------- Extract
+
+@pytest.mark.parametrize("mode,extra", [
+    ("AncToNewick", ("--first_bp", "500", "--last_bp", "100000")),
+    ("AncMutForSubregion", ("--first_bp", "500", "--last_bp", "100000")),
+    ("RemoveTreesWithFewMutations", ("--threshold", "0.2")),
+    ("ExtractDistFromMut", ()),
+    ("GetMut", ()),
+    ("AncientToModern", ()),
+    ("CountMutonBranches", ()),
+    ("GetAllBranchesOfMut", ()),
+    ("CheckBranchPersistence", ()),
+    ("GenerateSNPAnnotationsUsingTree", ()),
+    ("UnlinkTips", ("--pop_of_interest", "0,1")),
+])
+def test_extract_modes(panel, mode, extra):
+    _tool(panel, "Extract", mode, extra)
+
+
+def test_extract_subtrees_for_subpopulation(panel):
+    _tool(panel, "Extract", "SubTreesForSubpopulation",
+          ("--poplabels", panel["poplabels"], "--pop_of_interest", "GA"))
+
+
+def test_extract_divide_then_combine(panel):
+    out = str(panel["dir"] / "out_div")
+    rc = tools_cli.main(["Extract", "--mode", "DivideAncMut",
+                         "-i", panel["run"], "-o", out, "--threads", "2"])
+    assert rc == 0
+    assert os.path.exists(out + "_chr1.anc")
+    rc = tools_cli.main(["Extract", "--mode", "CombineAncMut",
+                         "-i", panel["run"], "-o", out])
+    assert rc == 0
+    assert os.path.exists(out + ".anc")
+    # metadata in the combined mut must come from the chunks
+    from relate_tpu.io import ancmut
+    orig = ancmut.read_mut_final(panel["run"] + ".mut")
+    comb = ancmut.read_mut_final(out + ".mut")
+    assert [m["pos"] for m in comb] == [m["pos"] for m in orig]
+
+
+def test_extract_map_mutations(panel, tmp_path):
+    """MapMutations reads extra SNPs from a second haps pair and merges
+    them into the .mut (GetTreeOfInterest.cpp:128-290)."""
+    rng = np.random.default_rng(5)
+    bp = panel["bp"]
+    extra_bp = bp[:20] + 7  # positions strictly between existing SNPs
+    Gx = (rng.random((20, N)) < 0.4).astype(np.uint8)
+    prefix = str(tmp_path / "extra")
+    write_haps_sample(Gx, extra_bp, prefix)
+    out = str(tmp_path / "mapped")
+    rc = tools_cli.main(["Extract", "--mode", "MapMutations",
+                         "-i", panel["run"], "-o", out,
+                         "--haps", prefix + ".haps",
+                         "--sample", prefix + ".sample"])
+    assert rc == 0
+    from relate_tpu.io import ancmut
+    merged = ancmut.read_mut_final(out + ".mut")
+    assert len(merged) == L + 20
+    pos = [m["pos"] for m in merged]
+    assert pos == sorted(pos)
+
+
+# --------------------------------------------------------------- FileFormats
+
+def test_fileformats_generate_snp_annotations(panel):
+    out = _tool(panel, "FileFormats", "GenerateSNPAnnotations",
+                ("--ancestor", panel["ancestor"],
+                 "--poplabels", panel["poplabels"]),
+                inp=panel["prefix"])
+    with open(out + ".annot") as f:
+        header = f.readline()
+        row1 = f.readline()
+    assert header.startswith("upstream_allele;downstream_allele;")
+    assert row1.count(";") >= 2
+
+
+@pytest.mark.parametrize("mode,extra", [
+    ("RemoveNonBiallelicSNPs", ()),
+    ("FlipHapsUsingAncestor", ("--ancestor", "ANCESTOR")),
+])
+def test_fileformats_haps_modes(panel, mode, extra):
+    extra = tuple(panel["ancestor"] if e == "ANCESTOR" else e for e in extra)
+    _tool(panel, "FileFormats", mode, extra, inp=panel["prefix"])
+
+
+def test_fileformats_tree_sequence(panel):
+    out = _tool(panel, "FileFormats", "ConvertToTreeSequence")
+    assert os.path.exists(out + ".trees")
+
+
+# ------------------------------------------------------------------ TreeView
+
+@pytest.mark.parametrize("mode", ["TreeView", "TreeViewSample",
+                                  "MutationsOnBranches",
+                                  "BranchesBelowMutation"])
+def test_treeview_modes(panel, mode):
+    _tool(panel, "TreeView", mode, ("--bp_of_interest", "5000"))

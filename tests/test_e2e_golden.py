@@ -1,0 +1,139 @@
+"""End-to-end differential tests vs reference-binary golden outputs.
+
+These enforce the README's parity claims on the reference's bundled example
+chromosome (8 haplotypes x 130,862 SNPs; example/run_relate.sh) instead of
+leaving them as hand-measured numbers:
+
+- BuildTopology on the golden chunk must produce a tree sequence whose
+  density and per-SNP mapped clades agree with ``postbt_0.anc/.mut``
+  (reference ``Relate --mode BuildTopology`` output).
+- ``run_all`` must reproduce ``golden.anc/.mut`` (reference
+  ``Relate --mode All``) within the documented tolerances: mutation-age
+  ratio in [0.95, 1.05], per-SNP log-age correlation >= 0.97, >= 70%
+  identical mapped clades, tree count within 10%.
+
+Bit-identity is impossible by design (the reference breaks distance ties
+with mt19937 draws in its scan order), so the metrics quantify agreement.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from relate_tpu.core import painting
+from relate_tpu.io import ancmut
+from relate_tpu.io.chunking import read_reference_chunk
+
+
+E_SUB = 12000          # subrange of section 0 used by the fast test
+MARGIN = 500           # don't compare trees straddling the cut
+
+
+def _clade_sets(anc, muts, lo, hi):
+    """Map snp -> frozenset of carrier leaves of its mapped branch."""
+    out = {}
+    leafmats = {}
+    for snp in range(lo, hi):
+        m = muts[snp]
+        if len(m.branch) != 1:
+            continue
+        t = m.tree
+        if t not in leafmats:
+            leafmats[t] = anc.seq[t].tree.leaf_matrix().astype(bool)
+        out[snp] = frozenset(np.nonzero(leafmats[t][int(m.branch[0])])[0])
+    return out
+
+
+@pytest.mark.golden
+def test_buildtopology_matches_reference(golden_dir, golden_chunk):
+    """BuildTopology on SNPs [0, E_SUB] of the golden chunk vs the
+    reference binary's postbt_0 (same inputs, same stage)."""
+    ch = golden_chunk
+    ref_anc = ancmut.read_anc_bin(str(golden_dir / "postbt_0.anc"))
+    ref_muts = ancmut.read_mut_short(str(golden_dir / "postbt_0.mut"))
+
+    model = painting.PaintingModel(N=ch.G.shape[1], theta=0.001)
+    painter = painting.Painter(ch.G, ch.r, model)
+    cps = painter.paint_stepping_stones(np.asarray([0, ch.G.shape[0]]))
+    from relate_tpu.core import topology_device
+    res = topology_device.build_topology_section_device(
+        painter, cps[0], ch.G, ch.rpos, ch.state, ch.bp,
+        0, E_SUB, seed=1)
+
+    hi = E_SUB - MARGIN
+    ours_trees = sum(1 for mt in res.anc.seq if mt.pos < hi)
+    ref_trees = sum(1 for mt in ref_anc.seq if mt.pos < hi)
+    assert ref_trees > 10
+    ratio = ours_trees / ref_trees
+    assert 0.85 <= ratio <= 1.15, (ours_trees, ref_trees)
+
+    ours = _clade_sets(res.anc, res.muts, 0, hi)
+    ref = _clade_sets(ref_anc, ref_muts, 0, hi)
+    common = set(ours) & set(ref)
+    assert len(common) > 0.8 * hi
+    agree = sum(1 for s in common if ours[s] == ref[s]) / len(common)
+    assert agree >= 0.70, f"clade agreement {agree:.3f}"
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+def test_run_all_matches_golden(golden_dir, tmp_path):
+    """Full pipeline on the example chromosome vs the reference's final
+    .anc/.mut (README parity numbers, now enforced)."""
+    from relate_tpu.pipeline import relate
+
+    mapf = tmp_path / "flat.map"
+    with open(mapf, "w") as f:
+        f.write("pos COMBINED_rate Genetic_Map\n")
+        for bp in range(0, 250000001, 1000000):
+            f.write(f"{bp} 1.0 {bp / 1e6}\n")
+    out = str(tmp_path / "e2e")
+    relate.run_all("/root/reference/example/data/example.haps.gz",
+                   "/root/reference/example/data/example.sample.gz",
+                   str(mapf), out, seed=1, verbose=False)
+
+    ours_anc = ancmut.read_anc_text(out + ".anc")
+    ours_mut = ancmut.read_mut_final(out + ".mut")
+    ref_anc = ancmut.read_anc_text(str(golden_dir / "golden.anc"))
+    ref_mut = ancmut.read_mut_final(str(golden_dir / "golden.mut"))
+
+    assert len(ours_mut) == len(ref_mut)
+    # tree count within 10%
+    ratio = len(ours_anc.seq) / len(ref_anc.seq)
+    assert 0.90 <= ratio <= 1.10, ratio
+
+    # mutation ages: ratio of means in [0.95, 1.05], log-age corr >= 0.97
+    def mid_ages(muts):
+        return np.array([0.5 * (m["age_begin"] + m["age_end"])
+                         for m in muts])
+
+    a_ours = mid_ages(ours_mut)
+    a_ref = mid_ages(ref_mut)
+    ok = np.isfinite(a_ours) & np.isfinite(a_ref) & (a_ours > 0) \
+        & (a_ref > 0)
+    assert ok.mean() > 0.9
+    age_ratio = a_ours[ok].mean() / a_ref[ok].mean()
+    assert 0.95 <= age_ratio <= 1.05, age_ratio
+    corr = np.corrcoef(np.log(a_ours[ok]), np.log(a_ref[ok]))[0, 1]
+    assert corr >= 0.97, corr
+
+    # mapped-clade agreement >= 70% of SNPs mapped by both
+    def final_clades(anc, muts):
+        out = {}
+        leafmats = {}
+        for m in muts:
+            if len(m["branch"]) != 1:
+                continue
+            t = m["tree"]
+            if t not in leafmats:
+                leafmats[t] = anc.seq[t].tree.leaf_matrix().astype(bool)
+            out[m["snp"]] = frozenset(
+                np.nonzero(leafmats[t][m["branch"][0]])[0])
+        return out
+
+    ours = final_clades(ours_anc, ours_mut)
+    ref = final_clades(ref_anc, ref_mut)
+    common = set(ours) & set(ref)
+    assert len(common) > 0.8 * len(ref_mut)
+    agree = sum(1 for s in common if ours[s] == ref[s]) / len(common)
+    assert agree >= 0.70, f"clade agreement {agree:.3f}"

@@ -592,7 +592,8 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
              sample_ages: Optional[np.ndarray] = None,
              group_R: Optional[np.ndarray] = None,
              memberships: Optional[np.ndarray] = None,
-             max_rounds: int = 2000) -> np.ndarray:
+             max_rounds: int = 2000, mesh=None,
+             mesh_axis: str = "shard") -> np.ndarray:
     """Estimate branch lengths for a batch of trees.
 
     epochs/rates: optional piecewise coalescence-rate prior in units of Ne
@@ -600,8 +601,18 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     group_R/memberships: optional pairwise group-rate prior — group_R is
     (E, G, G) rates per epoch (same Ne units) and memberships the (N,)
     group index per haplotype (MCMCCoalRatesForRelate).
+    mesh: optional jax.sharding.Mesh — the independent chains (tree batch)
+    are sharded over it (the TPU replacement for the reference's
+    section-level job arrays, SURVEY §2.5). The batch is padded with copies
+    of the last tree to a device-count multiple; padded chains' outputs are
+    dropped.
     Returns branch lengths (B, M) in generations.
     """
+    B_real = len(trees)
+    if mesh is not None:
+        ndev = int(mesh.devices.size)
+        pad = (-B_real) % ndev
+        trees = list(trees) + [trees[-1]] * pad
     B = len(trees)
     N = trees[0].N
     M = trees[0].num_nodes
@@ -689,6 +700,11 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         count=jnp.zeros((B,), jnp.float32),
         cprop=jnp.zeros((B, M), jnp.int32))
 
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+        st = shard_batch(mesh, st, B, mesh_axis)
+        state = shard_batch(mesh, state, B, mesh_axis)
+
     block = _Block(N, M, use_vp, use_pair)
     key = jax.random.PRNGKey(seed)
 
@@ -712,4 +728,4 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         p = parent[b]
         sel = p >= 0
         bl[b, sel] = Ne * (avg[b, p[sel]] - avg[b, sel])
-    return np.maximum(bl, 0.0)
+    return np.maximum(bl, 0.0)[:B_real]

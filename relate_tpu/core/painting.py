@@ -494,9 +494,22 @@ class Painter:
     """Painting driver for one chunk: holds the genotype panel on device,
     computes stepping-stone checkpoints per window and full posteriors."""
 
-    def __init__(self, G: np.ndarray, r: np.ndarray, model: PaintingModel):
+    def __init__(self, G: np.ndarray, r: np.ndarray, model: PaintingModel,
+                 mesh=None, mesh_axis: str = "shard"):
+        """``mesh``: optional jax.sharding.Mesh — the painting target axis
+        is sharded over it (each device paints its target shard against the
+        replicated panel; SURVEY §2.5's windows-over-ICI mapping)."""
         self.G_host = np.asarray(G, dtype=np.uint8)
-        self.G = jnp.asarray(self.G_host)
+        self.mesh = mesh
+        self._mesh_axis = mesh_axis
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(mesh, P())
+            self._row = NamedSharding(mesh, P(mesh_axis))
+            self._ndev = int(mesh.devices.size)
+            self.G = jax.device_put(jnp.asarray(self.G_host), self._repl)
+        else:
+            self.G = jnp.asarray(self.G_host)
         self.r = np.asarray(r, dtype=np.float64)
         self.model = model
         self._fwd, self._bwd, self._bwd_full = make_painting_kernels(model)
@@ -511,9 +524,31 @@ class Painter:
 
     # -- pallas fast path caches ------------------------------------------
     def _use_pallas(self) -> bool:
+        if self.mesh is not None:
+            # the sharded path runs the portable scan kernels
+            return False
         if os.environ.get("RELATE_TPU_NO_PALLAS"):
             return False
         return jax.default_backend() == "tpu"
+
+    # -- mesh helpers ------------------------------------------------------
+    def _pad_rows(self, a, B_pad: int):
+        """Pad a batch-leading host/device array to B_pad rows by repeating
+        the last row (padded targets compute throwaway values)."""
+        B = a.shape[0]
+        if B == B_pad:
+            return a
+        reps = jnp.broadcast_to(a[-1:], (B_pad - B,) + a.shape[1:])
+        return jnp.concatenate([jnp.asarray(a), reps], axis=0)
+
+    def _pad_cols(self, a, B_pad: int):
+        """Pad axis 1 (the step-output batch axis) to B_pad columns."""
+        B = a.shape[1]
+        if B == B_pad:
+            return a
+        reps = jnp.broadcast_to(a[:, -1:],
+                                a.shape[:1] + (B_pad - B,) + a.shape[2:])
+        return jnp.concatenate([jnp.asarray(a), reps], axis=1)
 
     def _cum_counts(self) -> np.ndarray:
         """(L+1, N) prefix counts of derived sites per haplotype."""
@@ -678,12 +713,20 @@ class Painter:
         return out_bsb, bse
 
     # -- internals -------------------------------------------------------
-    @staticmethod
-    def _plan_dev(plan: TargetPlan):
-        """Upload a plan's arrays to device once; reused by fwd and bwd."""
-        return (jax.device_put(plan.idx), jax.device_put(plan.seqk),
-                jax.device_put(plan.pfac), jax.device_put(plan.nxt),
-                jax.device_put(plan.D), jax.device_put(plan.kmask))
+    def _plan_dev(self, plan: TargetPlan):
+        """Upload a plan's arrays to device once; reused by fwd and bwd.
+
+        With a mesh, the target (batch-leading) axis is padded to a
+        multiple of the device count and sharded; the panel G stays
+        replicated."""
+        arrs = (plan.idx, plan.seqk, plan.pfac, plan.nxt, plan.D,
+                plan.kmask)
+        if self.mesh is None:
+            return tuple(jax.device_put(a) for a in arrs)
+        B = arrs[0].shape[0]
+        B_pad = -(-B // self._ndev) * self._ndev
+        return tuple(jax.device_put(self._pad_rows(np.asarray(a), B_pad),
+                                    self._row) for a in arrs)
 
     @staticmethod
     def _row_of_site(plan: TargetPlan, sites: np.ndarray) -> np.ndarray:
@@ -698,12 +741,29 @@ class Painter:
 
     def _run_fwd(self, plan: TargetPlan, alpha0, dev=None):
         dev = dev or self._plan_dev(plan)
-        return self._fwd(self.G, *dev, jnp.asarray(alpha0))
+        if self.mesh is None:
+            return self._fwd(self.G, *dev, jnp.asarray(alpha0))
+        B = plan.idx.shape[0]
+        B_pad = int(dev[0].shape[0])
+        a0 = jax.device_put(self._pad_rows(jnp.asarray(alpha0), B_pad),
+                            self._row)
+        a_all, ls_all = self._fwd(self.G, *dev, a0)
+        return a_all[:, :B], ls_all[:, :B]
 
     def _run_bwd(self, plan: TargetPlan, a_all, lsf, beta_end, dev=None):
         dev = dev or self._plan_dev(plan)
-        return self._bwd_full(self.G, *dev, a_all, lsf,
-                              jnp.asarray(beta_end))
+        if self.mesh is None:
+            return self._bwd_full(self.G, *dev, a_all, lsf,
+                                  jnp.asarray(beta_end))
+        B = plan.idx.shape[0]
+        B_pad = int(dev[0].shape[0])
+        be = jax.device_put(self._pad_rows(jnp.asarray(beta_end), B_pad),
+                            self._row)
+        out = self._bwd_full(self.G, *dev, self._pad_cols(a_all, B_pad),
+                             self._pad_cols(lsf, B_pad), be)
+        topo, lstot, beta_all, lsb_all = out
+        return (topo[:, :B], lstot[:, :B], beta_all[:, :B],
+                lsb_all[:, :B])
 
     # -- stepping stones -------------------------------------------------
     def paint_stepping_stones(self, boundaries: np.ndarray):

@@ -54,6 +54,10 @@ def build_parser():
     # Finalize: where the stage artifacts live. Defaults to <output>.tmpdir
     # (the run_all layout); the per-stage flow passes the MakeChunks -o dir
     p.add_argument("--store")
+    # shard device work (painting targets, MCMC tree batches) over the
+    # first N jax devices — the TPU replacement for RelateParallel.sh
+    # --threads (SURVEY §2.5)
+    p.add_argument("--devices", type=int, default=0)
     return p
 
 
@@ -78,6 +82,10 @@ def main(argv=None):
     rho_scale = 1.0
     if args.painting:
         theta, rho_scale = args.painting
+    mesh = None
+    if args.devices:
+        from ..parallel.mesh import default_mesh
+        mesh = default_mesh(args.devices)
 
     if mode == "All":
         relate.run_all(args.haps, args.sample, args.map_path, out,
@@ -87,7 +95,7 @@ def main(argv=None):
                        use_transitions=not args.transversion,
                        sample_ages_path=args.sample_ages, coal=coal,
                        rho_scale=rho_scale, postprocess=args.postprocess,
-                       annot_path=args.annot)
+                       annot_path=args.annot, mesh=mesh)
         return 0
 
     store = ArtifactStore(args.store if args.store else
@@ -97,7 +105,8 @@ def main(argv=None):
                            args.memory, args.dist, not args.transversion,
                            args.sample_ages)
     elif mode == "Paint":
-        relate.paint(store, args.chunk_index, theta, rho_scale=rho_scale)
+        relate.paint(store, args.chunk_index, theta, rho_scale=rho_scale,
+                     mesh=mesh)
     elif mode == "BuildTopology":
         relate.build_topology(store, args.chunk_index, seed=args.seed,
                               theta=theta, rho_scale=rho_scale,
@@ -105,7 +114,7 @@ def main(argv=None):
                               ancestral_state=not args.anc_allele_unknown,
                               fb=args.fb,
                               first_section=args.first_section,
-                              last_section=args.last_section)
+                              last_section=args.last_section, mesh=mesh)
     elif mode == "FindEquivalentBranches":
         relate.find_equivalent_branches(store, args.chunk_index)
     elif mode == "PostProcess":
@@ -120,7 +129,8 @@ def main(argv=None):
                                     mu=args.mutation_rate, seed=args.seed,
                                     epochs=epochs, rates=rates,
                                     first_section=args.first_section,
-                                    last_section=args.last_section)
+                                    last_section=args.last_section,
+                                    mesh=mesh)
     elif mode == "CombineSections":
         relate.combine_sections(store, args.chunk_index)
     elif mode == "OptimizeParameters":

@@ -48,13 +48,16 @@ def _painter_for(store: ArtifactStore, c: int, theta: float):
 
 
 def paint(store: ArtifactStore, c: int, theta: float = 0.001,
-          rho_scale: float = 1.0):
+          rho_scale: float = 1.0, mesh=None):
     """Compute and persist stepping-stone checkpoints for all windows of a
-    chunk (pipeline/Paint.cpp equivalent; npz instead of RLE .bin)."""
+    chunk (pipeline/Paint.cpp equivalent; npz instead of RLE .bin).
+
+    ``mesh``: optional device mesh; the painting target axis is sharded
+    over it."""
     ch = store.load_chunk(c)
     r = ch.r * rho_scale
     model = painting.PaintingModel(N=ch.N, theta=theta)
-    painter = painting.Painter(ch.G, r, model)
+    painter = painting.Painter(ch.G, r, model, mesh=mesh)
     cps = painter.paint_stepping_stones(np.asarray(ch.windows.boundaries))
     os.makedirs(store.path(f"chunk_{c}"), exist_ok=True)
     for w, cp in enumerate(cps):
@@ -74,11 +77,14 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
                    theta: float = 0.001, rho_scale: float = 1.0,
                    mode: int = 1, ancestral_state: bool = True, fb: int = 0,
                    first_section: int = 0,
-                   last_section: Optional[int] = None):
-    """Build per-section tree sequences (pipeline/BuildTopology.cpp)."""
+                   last_section: Optional[int] = None, mesh=None):
+    """Build per-section tree sequences (pipeline/BuildTopology.cpp).
+
+    ``mesh``: optional device mesh; the RePaint target axis is sharded
+    over it (the section merge scan itself is sequential per window)."""
     ch = store.load_chunk(c)
     model = painting.PaintingModel(N=ch.N, theta=theta)
-    painter = painting.Painter(ch.G, ch.r * rho_scale, model)
+    painter = painting.Painter(ch.G, ch.r * rho_scale, model, mesh=mesh)
     bounds = ch.windows.boundaries
     W = len(bounds) - 1
     if last_section is None:
@@ -140,7 +146,7 @@ def infer_branch_lengths(store: ArtifactStore, c: int, Ne: float = 3e4,
                          epochs: Optional[np.ndarray] = None,
                          rates: Optional[np.ndarray] = None,
                          first_section: int = 0,
-                         last_section: Optional[int] = None):
+                         last_section: Optional[int] = None, mesh=None):
     """Branch-length MCMC per section (pipeline/InferBranchLengths.cpp);
     the per-section tree batch is one vmapped chain batch.
 
@@ -165,7 +171,8 @@ def infer_branch_lengths(store: ArtifactStore, c: int, Ne: float = 3e4,
         bl = mcmc.run_mcmc(trees, ch.dist.astype(np.float64), ch.L,
                            Ne=Ne, mu=mu,
                            seed=seed + 7919 * (c + 1) + w,
-                           epochs=epochs, rates=rates, sample_ages=ages)
+                           epochs=epochs, rates=rates, sample_ages=ages,
+                           mesh=mesh)
         for i, mt in enumerate(anc.seq):
             mt.tree.branch_length = bl[i]
         ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"), anc)
@@ -327,31 +334,52 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
             sample_ages_path: Optional[str] = None,
             coal: Optional[tuple] = None, cleanup: bool = True,
             verbose: bool = True, rho_scale: float = 1.0,
-            postprocess: bool = False, annot_path: Optional[str] = None):
+            postprocess: bool = False, annot_path: Optional[str] = None,
+            mesh=None):
     """Relate --mode All (pipeline/Relate.cpp:257-287).
 
     ``rho_scale`` applies the reference's ``--painting theta,rho`` override
     (Paint.cpp:38-61) to both Paint and BuildTopology; ``postprocess``
     inserts the optional PostProcess + re-association stage
     (Relate.cpp:276-279); ``annot_path`` joins annotations into the final
-    .mut (Finalize.cpp:98-183)."""
+    .mut (Finalize.cpp:98-183).
+
+    Distribution (replacing the reference's SGE/Slurm/LSF job arrays,
+    SURVEY §2.5): with ``mesh``, painting targets and MCMC tree batches are
+    sharded over the mesh devices (ICI); under multi-process JAX, chunks
+    are round-robined over hosts (DCN — each host paints/builds its
+    chunks against its own replica of the panel) and host 0 performs the
+    Finalize merge once all chunk artifacts exist in the shared store."""
+    import jax as _jax
     store = ArtifactStore(output + ".tmpdir")
-    plan = make_chunks(haps_path, sample_path, map_path, store.outdir,
-                       memory_gb, dist_path, use_transitions,
-                       sample_ages_path)
+    n_hosts0 = _jax.process_count()
+    if n_hosts0 > 1 and _jax.process_index() != 0:
+        # host 0 plans the chunks; other hosts wait for the shared plan
+        import time
+        while not os.path.exists(store.path("plan.json")):
+            time.sleep(1.0)
+        plan, _ = store.load_plan()
+    else:
+        plan = make_chunks(haps_path, sample_path, map_path, store.outdir,
+                           memory_gb, dist_path, use_transitions,
+                           sample_ages_path)
     if verbose:
         print(f"[relate] N={plan.N} L={plan.L} chunks={plan.num_chunks}")
     epochs = rates = None
     if coal is not None:
         epochs, rates = coal
+    n_hosts = _jax.process_count()
+    host = _jax.process_index()
     for c in range(plan.num_chunks):
+        if c % n_hosts != host:
+            continue   # another host owns this chunk (filesystem-shared)
         if verbose:
             print(f"[relate] chunk {c}: paint")
-        paint(store, c, theta, rho_scale=rho_scale)
+        paint(store, c, theta, rho_scale=rho_scale, mesh=mesh)
         if verbose:
             print(f"[relate] chunk {c}: build topology")
         build_topology(store, c, seed=seed, theta=theta,
-                       rho_scale=rho_scale)
+                       rho_scale=rho_scale, mesh=mesh)
         if verbose:
             print(f"[relate] chunk {c}: associate branches")
         find_equivalent_branches(store, c)
@@ -363,8 +391,18 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
         if verbose:
             print(f"[relate] chunk {c}: infer branch lengths")
         infer_branch_lengths(store, c, Ne=Ne, mu=mu, seed=seed,
-                             epochs=epochs, rates=rates)
+                             epochs=epochs, rates=rates, mesh=mesh)
         combine_sections(store, c)
+    if n_hosts > 1:
+        # barrier: wait for every host's chunk artifacts (the shared
+        # filesystem is the reference's own synchronization medium)
+        import time
+        for c in range(plan.num_chunks):
+            while not os.path.exists(store.path(f"chunk_{c}",
+                                                "combined.anc")):
+                time.sleep(1.0)
+        if host != 0:
+            return output
     nnm, nfl = finalize(store, output, cleanup=cleanup,
                         annot_path=annot_path)
     if verbose:

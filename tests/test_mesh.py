@@ -56,3 +56,77 @@ def test_shard_batch_replicates_constants():
     assert placed.parent.sharding.spec == P("shard")
     assert placed.kc2_pos.sharding.spec in (P(), P(None))
     assert placed.epochs.sharding.spec in (P(), P(None))
+
+
+@needs_8
+def test_sharded_painter_matches_unsharded():
+    """Painting with the target axis sharded over 8 devices must equal the
+    single-device result bit-for-bit (same program, same dtype)."""
+    from relate_tpu.core import painting
+    rng = np.random.default_rng(3)
+    N, L = 12, 200          # N=12 does not divide 8 -> exercises padding
+    G = (rng.random((L, N)) < 0.3).astype(np.uint8)
+    r = np.full(L, 1e-4)
+    model = painting.PaintingModel(N=N, theta=0.001)
+    bounds = np.array([0, 100, L])
+
+    p_ref = painting.Painter(G, r, model)
+    p_sh = painting.Painter(G, r, model, mesh=pmesh.default_mesh(8))
+    cps_ref = p_ref.paint_stepping_stones(bounds)
+    cps_sh = p_sh.paint_stepping_stones(bounds)
+    for cr, cs in zip(cps_ref, cps_sh):
+        np.testing.assert_allclose(np.asarray(cr.alpha),
+                                   np.asarray(cs.alpha), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(cr.beta),
+                                   np.asarray(cs.beta), rtol=1e-6)
+    out_ref = p_ref.repaint(cps_ref[0])
+    out_sh = p_sh.repaint(cps_sh[0])
+    np.testing.assert_allclose(np.asarray(out_ref.topology),
+                               np.asarray(out_sh.topology), rtol=1e-6)
+
+
+@needs_8
+def test_sharded_mcmc_matches_unsharded():
+    """Branch-length MCMC with the tree batch sharded (and padded: B=5 on
+    8 devices) must reproduce the single-device branch lengths."""
+    from relate_tpu.core import mcmc
+    from relate_tpu.core.treebuilder import quick_build
+    rng = np.random.default_rng(0)
+    N, L, B = 10, 64, 5
+    trees = []
+    for b in range(B):
+        d = rng.random((N, N)).astype(np.float32)
+        t = quick_build(d, theta=0.01, seed=b)
+        t.num_events[:] = rng.poisson(1.0, t.num_nodes)
+        t.SNP_begin[:] = 0
+        t.SNP_end[:] = L - 1
+        trees.append(t)
+    dist = np.ones(L)
+    bl_ref = mcmc.run_mcmc(trees, dist, L, seed=11, max_rounds=3)
+    bl_sh = mcmc.run_mcmc(trees, dist, L, seed=11, max_rounds=3,
+                          mesh=pmesh.default_mesh(8))
+    np.testing.assert_allclose(bl_ref, bl_sh, rtol=1e-5, atol=1e-3)
+
+
+@needs_8
+def test_run_all_sharded_output_identical(tmp_path):
+    """run_all on an 8-device mesh writes byte-identical .anc/.mut to the
+    single-device run (VERDICT r1 item 2: shard the real pipeline)."""
+    import os
+    from relate_tpu.pipeline import relate
+    from relate_tpu.utils.synth import (synth_panel, write_flat_map,
+                                        write_haps_sample)
+    G, bp = synth_panel(8, 300, seed=4)
+    prefix = str(tmp_path / "toy")
+    write_haps_sample(G, bp, prefix)
+    write_flat_map(prefix + ".map", int(bp[-1]))
+    out1 = str(tmp_path / "plain")
+    relate.run_all(prefix + ".haps", prefix + ".sample", prefix + ".map",
+                   out1, seed=1, verbose=False)
+    out2 = str(tmp_path / "meshed")
+    relate.run_all(prefix + ".haps", prefix + ".sample", prefix + ".map",
+                   out2, seed=1, verbose=False,
+                   mesh=pmesh.default_mesh(8))
+    for ext in (".anc", ".mut"):
+        with open(out1 + ext, "rb") as f1, open(out2 + ext, "rb") as f2:
+            assert f1.read() == f2.read(), f"{ext} differs under mesh"

@@ -98,6 +98,9 @@ def main(argv=None):
                        annot_path=args.annot, mesh=mesh)
         return 0
 
+    from ..utils.trace import stage
+    _stage_cm = stage(mode)
+    _stage_cm.__enter__()
     store = ArtifactStore(args.store if args.store else
                           (out if mode != "Finalize" else out + ".tmpdir"))
     if mode == "MakeChunks":
@@ -147,6 +150,7 @@ def main(argv=None):
     elif mode == "Clean":
         import shutil
         shutil.rmtree(out + ".tmpdir", ignore_errors=True)
+    _stage_cm.__exit__(None, None, None)
     return 0
 
 

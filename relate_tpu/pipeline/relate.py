@@ -368,31 +368,28 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
     epochs = rates = None
     if coal is not None:
         epochs, rates = coal
+    from ..utils.trace import stage, summary
     n_hosts = _jax.process_count()
     host = _jax.process_index()
     for c in range(plan.num_chunks):
         if c % n_hosts != host:
             continue   # another host owns this chunk (filesystem-shared)
-        if verbose:
-            print(f"[relate] chunk {c}: paint")
-        paint(store, c, theta, rho_scale=rho_scale, mesh=mesh)
-        if verbose:
-            print(f"[relate] chunk {c}: build topology")
-        build_topology(store, c, seed=seed, theta=theta,
-                       rho_scale=rho_scale, mesh=mesh)
-        if verbose:
-            print(f"[relate] chunk {c}: associate branches")
-        find_equivalent_branches(store, c)
-        if postprocess:
-            if verbose:
-                print(f"[relate] chunk {c}: post-process")
-            post_process_chunk(store, c, seed=seed)
+        with stage(f"chunk{c}.paint", verbose):
+            paint(store, c, theta, rho_scale=rho_scale, mesh=mesh)
+        with stage(f"chunk{c}.build_topology", verbose):
+            build_topology(store, c, seed=seed, theta=theta,
+                           rho_scale=rho_scale, mesh=mesh)
+        with stage(f"chunk{c}.find_equivalent_branches", verbose):
             find_equivalent_branches(store, c)
-        if verbose:
-            print(f"[relate] chunk {c}: infer branch lengths")
-        infer_branch_lengths(store, c, Ne=Ne, mu=mu, seed=seed,
-                             epochs=epochs, rates=rates, mesh=mesh)
-        combine_sections(store, c)
+        if postprocess:
+            with stage(f"chunk{c}.post_process", verbose):
+                post_process_chunk(store, c, seed=seed)
+                find_equivalent_branches(store, c)
+        with stage(f"chunk{c}.infer_branch_lengths", verbose):
+            infer_branch_lengths(store, c, Ne=Ne, mu=mu, seed=seed,
+                                 epochs=epochs, rates=rates, mesh=mesh)
+        with stage(f"chunk{c}.combine_sections", verbose):
+            combine_sections(store, c)
     if n_hosts > 1:
         # barrier: wait for every host's chunk artifacts (the shared
         # filesystem is the reference's own synchronization medium)
@@ -403,11 +400,13 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
                 time.sleep(1.0)
         if host != 0:
             return output
-    nnm, nfl = finalize(store, output, cleanup=cleanup,
-                        annot_path=annot_path)
+    with stage("finalize", verbose):
+        nnm, nfl = finalize(store, output, cleanup=cleanup,
+                            annot_path=annot_path)
     if verbose:
         print(f"[relate] Number of not mapping SNPs: {nnm}")
         print(f"[relate] Number of flipped SNPs    : {nfl}")
+        summary()
     return output
 
 

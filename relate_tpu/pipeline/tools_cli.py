@@ -479,10 +479,12 @@ def main(argv=None):
     p.add_argument("--remove_ids")
     p.add_argument("--seed", type=int, default=1)
     args = p.parse_args(argv)
-    {"CoalescentRate": coalescent_rate, "MutationRate": mutation_rate,
-     "Selection": selection_tool, "Extract": extract_tool,
-     "TreeView": treeview_tool, "FileFormats": fileformats_tool}[
-         args.tool](args)
+    from ..utils.trace import stage
+    with stage(f"{args.tool}.{args.mode or 'default'}"):
+        {"CoalescentRate": coalescent_rate, "MutationRate": mutation_rate,
+         "Selection": selection_tool, "Extract": extract_tool,
+         "TreeView": treeview_tool, "FileFormats": fileformats_tool}[
+             args.tool](args)
     return 0
 
 

@@ -1,62 +1,119 @@
-"""Benchmark: painting throughput on a representative synthetic panel.
+"""Benchmark: painting + tree-build throughput and pipeline e2e wall clock.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the primary metric (combined painting+tree-build
+SNPs/s per chip — BASELINE.json's metric) plus per-stage detail fields.
 
 Workload: N=256 haplotypes x L=30,000 SNPs (SFS-distributed frequencies,
-seed 7) — full all-vs-all painting posterior (stepping stones + window
-repaint), the dominant compute stage of the pipeline.
+seed 7) — the full all-vs-all painting posterior (stepping stones + window
+repaint) followed by BuildTopology over the same window, exactly the two
+stages the reference splits into `--mode Paint` and `--mode BuildTopology`.
 
-Baseline: the reference C++ binary's `Relate --mode Paint` on the *same*
-panel, single core, measured on this machine: 3.08 s => 9,740 SNPs/s
-(binary built from /root/reference with default flags; see
-tests/golden/README.md for the build recipe).
+Baselines (reference C++ binary built from /root/reference with default
+flags, single core, measured on this machine — see tests/golden/README.md):
+- Paint:          3.08 s  => 9,740 SNPs/s   (round-1 measurement, kept)
+- BuildTopology: 54.13 s  =>   554 SNPs/s
+- Paint+BT:      57.2 s   =>   524 SNPs/s   (combined primary baseline)
+- --mode All:   270.7 s e2e on the same panel
+
+Set RELATE_TPU_BENCH_E2E=0 to skip the end-to-end run_all measurement.
 """
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_SNPS_PER_S = 9740.0   # C++ Relate --mode Paint, same panel, 1 core
+BASELINE_PAINT_SNPS_PER_S = 9740.0     # C++ Relate --mode Paint, 1 core
+BASELINE_BT_SNPS_PER_S = 30000.0 / 54.13   # C++ --mode BuildTopology
+BASELINE_COMBINED_SNPS_PER_S = 30000.0 / (3.08 + 54.13)
+BASELINE_E2E_S = 270.7                 # C++ --mode All, same panel
 N, L = 256, 30000
 
 
 def main():
-    from relate_tpu.core import painting
-    from relate_tpu.utils import synth
-
     import jax
+
+    from relate_tpu.core import painting, topology_device
+    from relate_tpu.utils import synth
 
     G, bp = synth.synth_panel(N, L)
     r = np.full(L, 2500 * 0.5e-8 * 500)
+    rpos = np.cumsum(r)
+    state = np.ones(L, dtype=np.int32)
     model = painting.PaintingModel(N=N, theta=0.001)
     painter = painting.Painter(G, r, model)
-    cps = painter.paint_stepping_stones(np.array([0, L]))
 
     # a dependent scalar reduction forces the device chain to finish —
     # block_until_ready alone under-reports through the axon tunnel
     force = jax.jit(lambda x: x.sum())
 
-    # warm up (compile), then measure amortized over reps
+    # ---- painting: stones + window repaint --------------------------------
+    cps = painter.paint_stepping_stones(np.array([0, L]))
     out = painter.repaint(cps[0])
-    float(force(out.topology))
+    float(force(out.topology))             # warm up (compile)
     reps = 5
     t0 = time.time()
     for _ in range(reps):
         out = painter.repaint(cps[0])
     float(force(out.topology))
-    elapsed = (time.time() - t0) / reps
+    paint_s = (time.time() - t0) / reps
+    paint_snps = L / paint_s
 
-    value = L / elapsed
-    print(json.dumps({
-        "metric": "painting_snps_per_s_per_chip",
-        "value": round(value, 1),
-        "unit": "SNPs/s (N=256 all-vs-all painting posterior)",
-        "vs_baseline": round(value / BASELINE_SNPS_PER_S, 3),
-    }))
+    # ---- tree build: full-window BuildTopology ----------------------------
+    # warm-up on a short prefix compiles the section kernel at (N, L)
+    kernel = topology_device.make_section_kernel(model.theta, N, L, 1)
+    topology_device.build_topology_section_device(
+        painter, cps[0], G, rpos, state, bp, 0, 256, seed=1, kernel=kernel)
+    t0 = time.time()
+    res = topology_device.build_topology_section_device(
+        painter, cps[0], G, rpos, state, bp, 0, L - 1, seed=1,
+        kernel=kernel)
+    bt_s = time.time() - t0
+    bt_snps = L / bt_s
+    num_trees = len(res.anc.seq)
+
+    combined_s = L / paint_snps + bt_s
+    combined_snps = L / combined_s
+
+    result = {
+        "metric": "paint_plus_treebuild_snps_per_s_per_chip",
+        "value": round(combined_snps, 1),
+        "unit": "SNPs/s (N=256 painting posterior + BuildTopology)",
+        "vs_baseline": round(combined_snps / BASELINE_COMBINED_SNPS_PER_S,
+                             3),
+        "painting_snps_per_s": round(paint_snps, 1),
+        "painting_vs_baseline": round(paint_snps
+                                      / BASELINE_PAINT_SNPS_PER_S, 3),
+        "treebuild_snps_per_s": round(bt_snps, 1),
+        "treebuild_vs_baseline": round(bt_snps / BASELINE_BT_SNPS_PER_S, 3),
+        "num_trees": num_trees,
+    }
+
+    # ---- e2e: run_all on the same panel vs C++ --mode All -----------------
+    if os.environ.get("RELATE_TPU_BENCH_E2E", "1") != "0":
+        from relate_tpu.pipeline import relate
+        from relate_tpu.utils.synth import write_flat_map, write_haps_sample
+        d = tempfile.mkdtemp(prefix="relate_bench_")
+        try:
+            prefix = os.path.join(d, "panel")
+            write_haps_sample(G, bp, prefix)
+            write_flat_map(prefix + ".map", int(bp[-1]))
+            t0 = time.time()
+            relate.run_all(prefix + ".haps", prefix + ".sample",
+                           prefix + ".map", os.path.join(d, "out"),
+                           seed=1, verbose=False)
+            e2e_s = time.time() - t0
+            result["e2e_s"] = round(e2e_s, 1)
+            result["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_s, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -137,3 +137,48 @@ def test_run_all_matches_golden(golden_dir, tmp_path):
     assert len(common) > 0.8 * len(ref_mut)
     agree = sum(1 for s in common if ours[s] == ref[s]) / len(common)
     assert agree >= 0.70, f"clade agreement {agree:.3f}"
+
+
+@pytest.mark.golden
+def test_postprocess_matches_reference(golden_dir):
+    """Full PostProcess on the golden final anc/mut vs the reference
+    binary's `Relate --mode PostProcess` on the same input
+    (PostProcess.cpp:311): the rearranged trees must re-map mutations to
+    clades agreeing with the reference's output."""
+    from relate_tpu.pipeline.postprocess import post_process
+    from relate_tpu.pipeline.scripts import _load_pair
+
+    anc, recs, bp, dist, rsid, alleles = _load_pair(
+        str(golden_dir / "golden"))
+    from relate_tpu.io import haps as hio
+    data = hio.read_haps("/root/reference/example/data/example.haps.gz",
+                         "/root/reference/example/data/example.sample.gz")
+    n_up = post_process(anc, recs, data.genotypes, bp, seed=1)
+    assert n_up > 0  # the pass must actually rearrange something
+
+    ref_anc = ancmut.read_anc_text(str(golden_dir / "pp_golden.anc"))
+    ref_mut = ancmut.read_mut_final(str(golden_dir / "pp_golden.mut"))
+    assert len(ref_anc.seq) == len(anc.seq)
+
+    # mapped-clade agreement on SNPs mapped by both
+    ours, leafmats = {}, {}
+    for snp, m in enumerate(recs):
+        if len(m.branch) != 1:
+            continue
+        if m.tree not in leafmats:
+            leafmats[m.tree] = anc.seq[m.tree].tree.leaf_matrix().astype(
+                bool)
+        ours[snp] = frozenset(
+            np.nonzero(leafmats[m.tree][int(m.branch[0])])[0])
+    ref, rmats = {}, {}
+    for m in ref_mut:
+        if len(m["branch"]) != 1:
+            continue
+        t = m["tree"]
+        if t not in rmats:
+            rmats[t] = ref_anc.seq[t].tree.leaf_matrix().astype(bool)
+        ref[m["snp"]] = frozenset(np.nonzero(rmats[t][m["branch"][0]])[0])
+    common = set(ours) & set(ref)
+    assert len(common) > 0.9 * len(recs)
+    agree = sum(1 for s in common if ours[s] == ref[s]) / len(common)
+    assert agree >= 0.90, f"post-process clade agreement {agree:.3f}"

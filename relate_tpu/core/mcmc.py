@@ -712,17 +712,79 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     state = block.run(st, state, jax.random.fold_in(key, 0),
                       50 * delta, False)
 
-    # main loop with adaptive stop; the check runs on device and only a
-    # boolean vector crosses the link per round
+    # Main loop with PER-TREE convergence: the reference converges each
+    # tree independently (branch_length_estimator.cpp:2983-3073); gating a
+    # vmapped batch on `.all()` would let one stubborn chain waste the
+    # whole fleet's proposals. Converged chains retire (their running
+    # sums are saved) and the remaining batch compacts to the next
+    # power-of-two bucket, re-jitting at most log2(B) shapes.
     block_steps = max(delta, 128)
+    final_ssum = np.zeros((B, M), dtype=np.float64)
+    final_count = np.zeros(B, dtype=np.float64)
+    active = np.arange(B)
+    cur_B = B       # current (possibly padded) array batch size
+    ndev = int(mesh.devices.size) if mesh is not None else 1
+
+    # batch-leading fields by name (shape tests are ambiguous: kc2_pos is
+    # (M,) and M can coincide with the batch size)
+    _STATIC_BATCH = ("parent", "child_left", "child_right", "num_events",
+                     "mut_rate", "rates", "cumR", "F")
+
+    def _gather_rows(tree_obj, rows, n_batch):
+        kw = {}
+        for name in tree_obj._fields:
+            x = getattr(tree_obj, name)
+            if x is None:
+                kw[name] = None
+                continue
+            batch = (isinstance(tree_obj, ChainState)
+                     or name in _STATIC_BATCH)
+            kw[name] = np.asarray(x)[rows] if batch else x
+        return type(tree_obj)(**kw)
+
     for rnd in range(1, max_rounds + 1):
         state = block.run(st, state, jax.random.fold_in(key, rnd),
                           block_steps, True)
-        if bool(np.asarray(block.converged(st, state)).all()):
+        # pads (beyond the real active rows) mirror their source chain;
+        # exclude them from the convergence bookkeeping
+        conv = np.asarray(block.converged(st, state))[: len(active)]
+        if conv.all():
             break
+        n_rem = int((~conv).sum())
+        bucket = 1 << max(n_rem - 1, 0).bit_length()
+        bucket = max(bucket, ndev)
+        if mesh is not None:
+            bucket = -(-bucket // ndev) * ndev
+        if bucket <= cur_B // 2:
+            # retire converged chains, compact the rest (pad by repeating
+            # the last remaining row; padded outputs are dropped)
+            done = np.nonzero(conv)[0]
+            ssum_h = np.asarray(state.ssum, dtype=np.float64)
+            count_h = np.asarray(state.count, dtype=np.float64)
+            final_ssum[active[done]] = ssum_h[done]
+            final_count[active[done]] = count_h[done]
+            rem = np.nonzero(~conv)[0]
+            active = active[rem]
+            rows = np.concatenate(
+                [rem, np.repeat(rem[-1:], bucket - n_rem)])
+            st = _gather_rows(st, rows, cur_B)
+            state = _gather_rows(state, rows, cur_B)
+            cur_B = bucket
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+                st = shard_batch(mesh, st, bucket, mesh_axis)
+                state = shard_batch(mesh, state, bucket, mesh_axis)
+            else:
+                st = jax.tree.map(jnp.asarray, st)
+                state = jax.tree.map(jnp.asarray, state)
 
-    avg = np.asarray(state.ssum, dtype=np.float64) \
-        / np.asarray(state.count)[:, None]
+    # save whatever is still active (converged or hit max_rounds)
+    ssum_h = np.asarray(state.ssum, dtype=np.float64)
+    count_h = np.asarray(state.count, dtype=np.float64)
+    final_ssum[active] = ssum_h[: len(active)]
+    final_count[active] = count_h[: len(active)]
+
+    avg = final_ssum / np.maximum(final_count, 1.0)[:, None]
     bl = np.zeros((B, M), dtype=np.float64)
     for b in range(B):
         p = parent[b]

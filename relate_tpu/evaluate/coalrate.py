@@ -98,16 +98,87 @@ def _epoch_overlap(epochs: np.ndarray, t: float) -> np.ndarray:
     return np.clip(np.minimum(hi, t) - lo, 0.0, None)
 
 
+_STATS_KERNEL_CACHE: dict = {}
+
+
+def _stats_kernel(M: int, N: int, G: int, E: int):
+    """Jitted batched per-tree sufficient statistics.
+
+    For a batch of trees (stacked child arrays + a topological node order),
+    propagates clade-by-group leaf counts with one lax.scan, then reduces
+    each internal node's cross-clade outer product into per-epoch (E, G, G)
+    blocks with two einsums — the reference's per-tree recursion + per-node
+    np.outer (CoalescentRateForSection.cpp:17-89) as one device program.
+
+    Per-tree outputs are f32 (pair counts are integers < 2^24, exact; the
+    epoch overlaps carry ~1e-7 relative error); the cross-tree factor
+    weighting and summation happen in f64 on the host.
+    """
+    key = (M, N, G, E)
+    if key in _STATS_KERNEL_CACHE:
+        return _STATS_KERNEL_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    V = M - N
+
+    @jax.jit
+    def kern(cl, cr, order, coords, onehot, epochs):
+        B = cl.shape[0]
+        bidx = jnp.arange(B)
+        C0 = jnp.zeros((B, M, G), jnp.float32)
+        C0 = C0.at[:, :N].set(jnp.broadcast_to(onehot[None], (B, N, G)))
+
+        def step(C, v):
+            a = C[bidx, cl[bidx, v]]
+            b = C[bidx, cr[bidx, v]]
+            return C.at[bidx, v].set(a + b), None
+
+        C, _ = jax.lax.scan(step, C0, order.T)
+
+        internal = jnp.arange(N, M)
+        gidx = jnp.broadcast_to(internal[None, :, None], (B, V, G))
+        cli = jnp.take_along_axis(cl, jnp.broadcast_to(internal[None],
+                                                       (B, V)), axis=1)
+        cri = jnp.take_along_axis(cr, jnp.broadcast_to(internal[None],
+                                                       (B, V)), axis=1)
+        A = jnp.take_along_axis(C, cli[:, :, None], axis=1)   # (B, V, G)
+        Bm = jnp.take_along_axis(C, cri[:, :, None], axis=1)
+        t = jnp.take_along_axis(coords, jnp.broadcast_to(internal[None],
+                                                         (B, V)), axis=1)
+
+        e = jnp.clip(jnp.searchsorted(epochs, t, side="right") - 1, 0,
+                     E - 1)
+        onehotE = jax.nn.one_hot(e, E, dtype=jnp.float32)     # (B, V, E)
+        lo = epochs
+        hi = jnp.append(epochs[1:], jnp.inf)
+        ov = jnp.clip(jnp.minimum(hi[None, None], t[:, :, None])
+                      - lo[None, None], 0.0, None)            # (B, V, E)
+
+        cnt = jnp.einsum("bve,bvg,bvh->begh", onehotE, A, Bm)
+        opp = jnp.einsum("bve,bvg,bvh->begh", ov, A, Bm)
+        cnt = 0.5 * (cnt + jnp.swapaxes(cnt, 2, 3))
+        opp = 0.5 * (opp + jnp.swapaxes(opp, 2, 3))
+        return cnt, opp
+
+    _STATS_KERNEL_CACHE[key] = kern
+    return kern
+
+
 def coalescence_stats(trees: List[Tree], factors: np.ndarray,
                       epochs: np.ndarray,
                       group_of_hap: Optional[np.ndarray] = None,
-                      sample_ages: Optional[np.ndarray] = None
+                      sample_ages: Optional[np.ndarray] = None,
+                      batch: int = 1024, use_device: bool = True
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-epoch coalescence counts and opportunity by group pair.
 
     Returns (counts (E, G, G), opp (E, G, G)), symmetric in the group axes,
     where each unordered haplotype pair contributes once (to [a,b] and [b,a]
     half each for a != b; diagonal gets the within-group pairs).
+
+    The tree batch is processed on device (`_stats_kernel`); pass
+    ``use_device=False`` for the pure-numpy differential twin.
     """
     E = len(epochs)
     N = trees[0].N
@@ -117,13 +188,50 @@ def coalescence_stats(trees: List[Tree], factors: np.ndarray,
     onehot = np.zeros((N, G))
     onehot[np.arange(N), group_of_hap] = 1.0
 
+    if not use_device:
+        return _coalescence_stats_host(trees, factors, epochs, onehot,
+                                       sample_ages)
+
+    import jax.numpy as jnp
+    M = trees[0].num_nodes
+    kern = _stats_kernel(M, N, G, E)
+    counts = np.zeros((E, G, G))
+    opp = np.zeros((E, G, G))
+    factors = np.asarray(factors, dtype=np.float64)
+    live = [i for i in range(len(trees)) if factors[i] != 0.0]
+    eps_d = jnp.asarray(epochs, jnp.float32)
+    oh_d = jnp.asarray(onehot, jnp.float32)
+    for s in range(0, len(live), batch):
+        idx = live[s: s + batch]
+        cl = np.stack([trees[i].child_left for i in idx]).astype(np.int32)
+        cr = np.stack([trees[i].child_right for i in idx]).astype(np.int32)
+        order = np.stack([topological_order(trees[i].parent)
+                          for i in idx]).astype(np.int32)
+        coords = np.stack([trees[i].coordinates(sample_ages)
+                           for i in idx]).astype(np.float32)
+        cnt_b, opp_b = kern(jnp.asarray(cl), jnp.asarray(cr),
+                            jnp.asarray(order), jnp.asarray(coords),
+                            oh_d, eps_d)
+        f = factors[idx]
+        counts += np.einsum("b,begh->egh", f,
+                            np.asarray(cnt_b, dtype=np.float64))
+        opp += np.einsum("b,begh->egh", f,
+                         np.asarray(opp_b, dtype=np.float64))
+    return counts, opp
+
+
+def _coalescence_stats_host(trees, factors, epochs, onehot, sample_ages):
+    """Reference-structured host twin of `coalescence_stats` (kept for
+    differential testing of the device kernel)."""
+    E = len(epochs)
+    N = trees[0].N
+    G = onehot.shape[1]
     counts = np.zeros((E, G, G))
     opp = np.zeros((E, G, G))
     for tree, f in zip(trees, factors):
         if f == 0.0:
             continue
         coords = tree.coordinates(sample_ages)
-        # clade-by-group counts, children-before-parents
         C = np.zeros((tree.num_nodes, G))
         C[:N] = onehot
         order = topological_order(tree.parent)

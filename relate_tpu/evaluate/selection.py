@@ -61,62 +61,94 @@ def compute_freq_lin(anc: AncesTree, muts: List[MutationRecord],
     """Per-SNP carrier/lineage counts at epoch boundaries (oldest-first,
     like the reference's .freq/.lin) plus the DAF-half and freq-2 lineage
     anchors. Returns a list of dict rows (None for skipped SNPs:
-    non-mapping, flipped, or rare)."""
+    non-mapping, flipped, or rare).
+
+    Vectorized per tree: all SNPs mapped to the same tree share the
+    lineage-count vector, and their carrier counts come from one
+    (epochs x nodes) @ (nodes x snps) subtree-crossing matmul instead of
+    the reference's per-SNP root-down walk (RelateSelection.cpp:330+)."""
     E = len(epochs)
     times = epochs[::-1].copy()            # oldest first
-    rows = []
-    cur_tree = -1
-    coords = leafmat = None
-    tree = None
+    rows: list = [None] * len(muts)
+
+    by_tree = {}
     for snp, m in enumerate(muts):
         if len(m.branch) != 1 or m.flipped:
-            rows.append(None)
             continue
-        b = m.branch[0]
-        if m.tree != cur_tree:
-            cur_tree = m.tree
-            tree = anc.seq[cur_tree].tree
-            coords = tree.coordinates(anc.sample_ages)
-            leafmat = tree.leaf_matrix().astype(bool)
-        daf = int(leafmat[b].sum())
-        if b == tree.root or b < 0:
-            rows.append(None)
+        by_tree.setdefault(m.tree, []).append(snp)
+
+    for t, snps in sorted(by_tree.items()):
+        tree = anc.seq[t].tree
+        N = tree.N
+        M = tree.num_nodes
+        coords = tree.coordinates(anc.sample_ages)
+        leafmat = tree.leaf_matrix().astype(bool)
+        snps = [s for s in snps
+                if 0 <= muts[s].branch[0] < tree.root]
+        if not snps:
             continue
-        lin = lineages_at(tree, coords, times)
-        frq = carriers_at(tree, coords, leafmat, b, times)
-        # anchors: lineage counts when the carrier count first reaches
-        # half the DAF and 2, scanning forward in time (root -> present)
+        bs = np.asarray([muts[s].branch[0] for s in snps])
+        S = len(bs)
+
+        lin = lineages_at(tree, coords, times)                 # (E,)
+        # subtree membership: node u in subtree(b) iff clade(u) ⊆ clade(b)
+        Lf = leafmat.astype(np.float64)                        # (M, N)
+        sub = (Lf @ (1.0 - Lf[bs]).T) == 0                     # (M, S)
+        par = tree.parent
+        par_coord = np.where(par >= 0, coords[np.maximum(par, 0)], np.inf)
+        crossing = (coords[None, :] <= times[:, None]) \
+            & (times[:, None] < par_coord[None, :])            # (E, M)
+        frq = crossing.astype(np.float64) @ sub                # (E, S)
+        ptop = np.where(par[bs] >= 0, coords[np.maximum(par[bs], 0)],
+                        np.inf)
+        frq = np.where(times[:, None] >= ptop[None, :], 0,
+                       frq).astype(np.int64)
+
+        daf = leafmat[bs].sum(axis=1).astype(np.int64)
+        # anchor ages: subtree internal-node coalescence times, descending
+        sub_int = sub[N:]                                      # (M-N, S)
+        ages_int = coords[N:]
+        masked = np.where(sub_int, ages_int[:, None], -np.inf)  # (M-N, S)
+        ages_desc = -np.sort(-masked, axis=0)                  # desc per SNP
+        n_sub = sub_int.sum(axis=0)
+
+        int_sorted = np.sort(ages_int)
+
+        def lin_at(tq):
+            # lineages crossing time tq-eps: 1 + #internal ages > tq-eps
+            cnt = 1 + (M - N) - np.searchsorted(int_sorted, tq - 1e-9,
+                                                side="right")
+            return np.where(tq - 1e-9 > coords[tree.root], 0, cnt)
+
         daf_half = (daf + 1) // 2
-        # anchor times: carrier count changes at subtree coalescences,
-        # scanned by age descending (root -> present)
-        sub_nodes = [v for v in range(tree.num_nodes)
-                     if (leafmat[v] & ~leafmat[b]).sum() == 0
-                     and leafmat[v].sum() <= daf and v >= tree.N]
-        ages_desc = np.sort(coords[sub_nodes])[::-1] if sub_nodes else \
-            np.array([])
+        # target <= 1 -> parent age of b; else (target-1)-th subtree
+        # coalescence age (descending)
+        def anchor_lin(target):
+            out = np.full(S, -1, dtype=np.int64)
+            t_par = ptop.copy()
+            use_par = target <= 1
+            k = np.maximum(target - 2, 0)
+            has_k = (target - 2) < n_sub
+            tq = np.where(use_par, t_par,
+                          ages_desc[np.minimum(k, ages_desc.shape[0] - 1),
+                                    np.arange(S)])
+            valid = (use_par & np.isfinite(t_par)) | (~use_par & has_k)
+            la = lin_at(tq)
+            out[valid] = la[valid]
+            return out
 
-        def lin_when(target):
-            # carriers going back in time: 1 at branch b, +1 per subtree
-            # coalescence below; carriers(t) >= target first at the age of
-            # the (target-1)-th subtree coalescence (descending)
-            if target <= 1:
-                t = coords[tree.parent[b]] if tree.parent[b] >= 0 else None
-            elif target - 2 < len(ages_desc):
-                t = ages_desc[target - 2]
-            else:
-                return -1
-            if t is None:
-                return -1
-            return int(lineages_at(tree, coords, np.asarray([t - 1e-9]))[0])
+        lw_half = np.where(daf_half > 1, anchor_lin(daf_half), -1)
+        lw_2 = anchor_lin(np.full(S, 2))
 
-        rows.append({
-            "snp": snp,
-            "pos": int(bp[snp]) if bp is not None else snp,
-            "rsid": rsid[snp] if rsid is not None else ".",
-            "freq": frq, "lin": lin, "daf": daf,
-            "lin_when_half": lin_when(daf_half) if daf_half > 1 else -1,
-            "lin_when_freq2": lin_when(2),
-        })
+        for j, snp in enumerate(snps):
+            rows[snp] = {
+                "snp": snp,
+                "pos": int(bp[snp]) if bp is not None else snp,
+                "rsid": rsid[snp] if rsid is not None else ".",
+                "freq": frq[:, j], "lin": lin, "daf": int(daf[j]),
+                "lin_when_half": int(lw_half[j]),
+                "lin_when_freq2": int(lw_2[j]),
+            }
     return rows
 
 

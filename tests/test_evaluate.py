@@ -121,3 +121,22 @@ def test_freqdiff_matches_reference(golden_dir, final_pair):
         assert mine == gold[r["pos"]], r["pos"]
         ncmp += 1
     assert ncmp > 150
+
+
+def test_coalescence_stats_device_matches_host(final_pair):
+    """The batched device kernel must reproduce the reference-structured
+    host recursion (counts exactly — integer pair blocks; opportunity to
+    f32 precision)."""
+    import numpy as np
+    from relate_tpu.evaluate import coalrate
+    anc, recs, bp, dist = final_pair[:4]
+    epochs = coalrate.default_epochs()
+    spans = coalrate.tree_spans(anc, recs, dist)
+    trees = [mt.tree for mt in anc.seq][:512]
+    spans = spans[:512]
+    grp = np.arange(anc.N) % 3
+    c_d, o_d = coalrate.coalescence_stats(trees, spans, epochs, grp)
+    c_h, o_h = coalrate.coalescence_stats(trees, spans, epochs, grp,
+                                          use_device=False)
+    np.testing.assert_allclose(c_d, c_h, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(o_d, o_h, rtol=1e-5, atol=1e-3)

@@ -48,6 +48,16 @@ from .trees import Tree
 
 P2 = 0.7  # UpdateOneEvent share of proposals
 
+# max B*M cells per compiled chain-batch program: the axon TPU runtime
+# falls over above ~4k chains at M=511 (worker crash); cap the product
+# and round the batch to a power of two so only a few shapes compile
+MAX_CHAIN_CELLS = 1024 * 511
+
+
+def chain_batch_cap(M: int) -> int:
+    cap = max(MAX_CHAIN_CELLS // max(M, 1), 256)
+    return 1 << (cap.bit_length() - 1)
+
 
 class ChainStatic(NamedTuple):
     parent: jnp.ndarray       # (B, M) int32 (-1 at root)
@@ -593,7 +603,8 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
              group_R: Optional[np.ndarray] = None,
              memberships: Optional[np.ndarray] = None,
              max_rounds: int = 2000, mesh=None,
-             mesh_axis: str = "shard") -> np.ndarray:
+             mesh_axis: str = "shard",
+             max_batch: Optional[int] = None) -> np.ndarray:
     """Estimate branch lengths for a batch of trees.
 
     epochs/rates: optional piecewise coalescence-rate prior in units of Ne
@@ -608,6 +619,22 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     dropped.
     Returns branch lengths (B, M) in generations.
     """
+    if max_batch is None:
+        max_batch = chain_batch_cap(trees[0].num_nodes)
+    if len(trees) > max_batch:
+        # slice very large tree batches: bounds device memory/program size
+        # (the axon TPU runtime falls over above ~4k chains in one
+        # program) and keeps one compiled shape per slice size
+        outs = []
+        for s in range(0, len(trees), max_batch):
+            sl = trees[s: s + max_batch]
+            outs.append(run_mcmc(
+                sl, dist, L, Ne=Ne, mu=mu, seed=seed + 7 * (s + 1),
+                epochs=epochs, rates=rates, sample_ages=sample_ages,
+                group_R=group_R, memberships=memberships,
+                max_rounds=max_rounds, mesh=mesh, mesh_axis=mesh_axis,
+                max_batch=max_batch))
+        return np.concatenate(outs, axis=0)
     B_real = len(trees)
     if mesh is not None:
         ndev = int(mesh.devices.size)

@@ -73,6 +73,19 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
     N = trees[0].N
     M = trees[0].num_nodes
     L = len(muts)
+    cap = mcmc.chain_batch_cap(M)
+    if B > cap:
+        # slice oversized batches (same device-program bound as run_mcmc)
+        from ..core.trees import AncesTree as _A
+        outs = []
+        for s in range(0, B, cap):
+            sub = _A(N=anc.N, seq=anc.seq[s: s + cap],
+                     sample_ages=anc.sample_ages)
+            outs.append(sample_branch_lengths(
+                sub, muts, dist, mu, epochs, rates,
+                num_samples=num_samples, num_proposals=num_proposals,
+                seed=seed + 7 * (s + 1)))
+        return np.concatenate(outs, axis=1)
     if num_proposals is None:
         num_proposals = 1000 * int(max(N / 10.0, 10.0))
     avg_ne, r_norm, e_norm = _normalized_prior(epochs, rates)
@@ -153,16 +166,106 @@ def write_newick_samples(path: str, anc: AncesTree, samples: np.ndarray,
             f.write(t.to_newick() + "\n")
 
 
-def write_timeb(path: str, anc: AncesTree, samples: np.ndarray):
-    """Binary sample format: header (i32 num_samples, i32 num_trees,
-    i32 num_nodes) then f32 node *ages* per (sample, tree, node) — a compact
-    column layout readable by numpy (documented self-describing variant of
-    the reference's .timeb)."""
+def write_timeb(path: str, anc: AncesTree, samples: np.ndarray,
+                muts=None, bp=None, alleles=None):
+    """Byte-compatible .timeb (SampleBranchLengthsBinary,
+    ReEstimateBranchLengths.cpp:1310-1453 / parse_timeb.py):
+
+    header ``int32 num_mapping_SNPs, int32 num_samples``; then per SNP with
+    <= 1 mapped branch: ``int32 BP, char anc_allele, char der_allele,
+    int32 DAF, int32 N``, followed by ``float32
+    anctimes[num_samples * max(0, N-DAF-1)]`` (sorted coalescence ages of
+    internal nodes outside the derived clade, excluding the mapped
+    branch's parent, per sample) and ``float32
+    dertimes[num_samples * max(0, DAF-1)]`` (sorted ages within the
+    derived clade).
+
+    Without ``muts`` (legacy call), every tree is written once as a
+    root-mapped pseudo-SNP (DAF=N: all internal ages are dertimes)."""
+    import struct
+
     S, T, M = samples.shape
+    N = anc.N
+    root = 2 * N - 2
+
+    if muts is None:
+        muts = []
+        for t in range(T):
+            from ..core.topology import MutationRecord
+            muts.append(MutationRecord(tree=t, branch=[root]))
+        bp = np.arange(T)
+        alleles = ["N/N"] * T
+
+    recs = [(snp, m) for snp, m in enumerate(muts) if len(m.branch) <= 1]
+    # per (tree, sample): node ages from the sampled branch lengths
+    age_cache = {}
+
+    def ages_of(t, s):
+        if (t, s) not in age_cache:
+            tree = anc.seq[t].tree
+            tree2 = tree.copy()
+            tree2.branch_length = samples[s, t]
+            age_cache[(t, s)] = tree2.coordinates(anc.sample_ages)
+        return age_cache[(t, s)]
+
     with open(path, "wb") as f:
-        np.asarray([S, T, M], dtype=np.int32).tofile(f)
-        for s in range(S):
-            for t in range(T):
-                tree = anc.seq[t].tree.copy()
-                tree.branch_length = samples[s, t]
-                tree.coordinates(anc.sample_ages).astype(np.float32).tofile(f)
+        f.write(struct.pack("ii", len(recs), S))
+        for snp, m in recs:
+            t = m.tree
+            tree = anc.seq[t].tree
+            leafmat = tree.leaf_matrix().astype(bool)
+            al = alleles[snp] if alleles is not None else "N/N"
+            anc_a = (al.split("/")[0] or "N")[0] if al else "N"
+            der_a = (al.split("/")[1] or "N")[0] if "/" in al else "N"
+            if len(m.branch) == 1:
+                b = int(m.branch[0])
+                daf = int(leafmat[b].sum()) if b != root else N
+                sub = (leafmat & ~leafmat[b]).sum(axis=1) == 0
+                par = int(tree.parent[b]) if b != root else -1
+            else:
+                daf = 0
+                sub = np.zeros(tree.num_nodes, dtype=bool)
+                par = -1
+            internal = np.arange(N, 2 * N - 1)
+            der_nodes = internal[sub[internal]]
+            anc_nodes = np.asarray([v for v in internal
+                                    if not sub[v] and v != par],
+                                   dtype=np.int64)
+            f.write(struct.pack("i", int(bp[snp]) if bp is not None
+                                else snp))
+            f.write(anc_a.encode()[:1] or b"N")
+            f.write(der_a.encode()[:1] or b"N")
+            f.write(struct.pack("ii", daf, N))
+            anct = np.empty((S, len(anc_nodes)), dtype=np.float32)
+            dert = np.empty((S, len(der_nodes)), dtype=np.float32)
+            for s in range(S):
+                coords = ages_of(t, s)
+                anct[s] = np.sort(coords[anc_nodes])
+                dert[s] = np.sort(coords[der_nodes])
+            anct[:, : max(0, N - daf - 1)].tofile(f)
+            dert[:, : max(0, daf - 1)].tofile(f)
+
+
+def read_timeb(path: str):
+    """parse_timeb.py equivalent: read a .timeb into a list of records
+    {bp, anc_allele, der_allele, daf, N, anctimes (S, N-DAF-1),
+    dertimes (S, DAF-1)}."""
+    import struct
+    out = []
+    with open(path, "rb") as f:
+        num_snps, S = struct.unpack("ii", f.read(8))
+        for _ in range(num_snps):
+            bp_v = struct.unpack("i", f.read(4))[0]
+            anc_a = f.read(1).decode(errors="replace")
+            der_a = f.read(1).decode(errors="replace")
+            daf, N = struct.unpack("ii", f.read(8))
+            na = max(0, N - daf - 1)
+            nd = max(0, daf - 1)
+            anct = np.fromfile(f, dtype=np.float32,
+                               count=S * na).reshape(S, na)
+            dert = np.fromfile(f, dtype=np.float32,
+                               count=S * nd).reshape(S, nd)
+            out.append({"bp": bp_v, "anc_allele": anc_a,
+                        "der_allele": der_a, "daf": daf, "N": N,
+                        "anctimes": anct, "dertimes": dert})
+    return out

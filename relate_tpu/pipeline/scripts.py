@@ -75,6 +75,14 @@ def estimate_population_size(input_prefix: str, output_prefix: str,
         anc, recs, dist, mu=mu, epochs=epochs, num_iter=num_iter,
         seed=seed, group_of_hap=group_of_hap, verbose=verbose)
     coalrate.write_coal(output_prefix + ".coal", epochs, whole, ["0"])
+    if verbose:
+        # terminal popsize plot (plot.cpp via FinalizePopulationSize.cpp:2)
+        from ..utils.asciiplot import ascii_plot
+        import sys as _sys
+        with np.errstate(divide="ignore"):
+            ne = np.where(np.asarray(whole) > 0,
+                          0.5 / np.maximum(np.asarray(whole), 1e-300), 0.0)
+        _sys.stderr.write(ascii_plot(epochs, ne))
     if group_of_hap is not None:
         coalrate.write_coal(output_prefix + ".pairwise.coal", epochs,
                             rates, names)
@@ -145,7 +153,8 @@ def sample_branch_lengths(input_prefix: str, output_prefix: str,
                     tr.branch_length = samples[s, t]
                     f.write(tr.to_newick() + "\n")
     elif fmt == "timeb":
-        sampling.write_timeb(output_prefix + ".timeb", anc, samples)
+        sampling.write_timeb(output_prefix + ".timeb", anc, samples,
+                             muts=recs, bp=bp, alleles=alleles)
     else:
         # mean over samples into one anc/mut (plus all samples as .npy)
         mean_bl = samples.mean(axis=0)

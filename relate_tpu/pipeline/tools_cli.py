@@ -38,23 +38,53 @@ def _merged_mut_rows(recs, bp, dist, rsid, alleles,
     return rows
 
 
+def _chr_list(args):
+    """Chromosome names from --chr (file of names) or
+    --first_chr..--last_chr (RelateCoalescentRate.cpp:57-79); None when
+    neither is given (single whole-genome input)."""
+    if args.chr:
+        from ..io.haps import smart_open
+        with smart_open(args.chr) as f:
+            return [line.strip() for line in f if line.strip()]
+    if args.first_chr is not None and args.last_chr is not None:
+        if args.first_chr < 0 or args.last_chr < 0:
+            raise SystemExit("Do not use negative chr indices.")
+        return [str(c) for c in range(args.first_chr, args.last_chr + 1)]
+    return None
+
+
 def coalescent_rate(args):
     from ..evaluate import coalrate
     from .scripts import estimate_population_size
     epochs = coalrate.epochs_from_bins(*args.bins, args.years_per_gen) \
         if args.bins else coalrate.default_epochs(args.years_per_gen)
     if args.mode == "EstimatePopulationSize":
-        anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
-        spans = coalrate.tree_spans(anc, recs, dist)
-        trees = [mt.tree for mt in anc.seq]
+        chrs = _chr_list(args)
+        inputs = [args.input] if chrs is None else \
+            [f"{args.input}_chr{c}" for c in chrs]
         group = None
         names = ["0"]
-        if args.poplabels:
-            from ..io import haps as hio
-            pl = hio.read_poplabels(args.poplabels)
-            group = pl.group_of_haplotype[: anc.N]
-            names = pl.groups
-        c, o = coalrate.coalescence_stats(trees, spans, epochs, group)
+        per_chr = []
+        for prefix in inputs:
+            anc, recs, bp, dist, rsid, alleles = _load_pair(prefix)
+            spans = coalrate.tree_spans(anc, recs, dist)
+            trees = [mt.tree for mt in anc.seq]
+            if args.poplabels and group is None:
+                if args.poplabels == "hap":
+                    # per-haplotype-pair rates
+                    # (FinalizePopulationSizeByHaplotype)
+                    group = np.arange(anc.N)
+                    names = [str(h) for h in range(anc.N)]
+                else:
+                    from ..io import haps as hio
+                    pl = hio.read_poplabels(args.poplabels)
+                    group = pl.group_of_haplotype[: anc.N]
+                    names = pl.groups
+            per_chr.append(coalrate.coalescence_stats(trees, spans, epochs,
+                                                      group))
+        # genome-level sum — the in-memory replacement of the reference's
+        # per-chromosome .bin sum (SummarizeCoalescentRateForGenome.cpp:8)
+        c, o = coalrate.summarize_for_genome(per_chr)
         whole = coalrate.finalize_rates(c.sum(axis=(1, 2)), o.sum(axis=(1, 2)))
         coalrate.write_coal(args.output + ".coal", epochs, whole, ["0"])
         if group is not None:
@@ -98,6 +128,32 @@ def mutation_rate(args):
                      "Finalize", "FinalizeForCategory",
                      "FinalizeMutationCount", "XY"):
         return mutation_rate_summary(args)
+    chrs = _chr_list(args)
+    if chrs is not None:
+        # per-chromosome loop + genome summarize + finalize
+        # (RelateMutationRate ForChromosome modes -> SummarizeForGenome ->
+        # Finalize; EstimatePopulationSize.sh:428-461)
+        import copy
+        outs = []
+        for c in chrs:
+            a = copy.copy(args)
+            a.chr = None
+            a.first_chr = a.last_chr = None
+            a.input = f"{args.input}_chr{c}"
+            a.output = f"{args.output}_chr{c}"
+            mutation_rate(a)
+            outs.append(a.output)
+        a = copy.copy(args)
+        a.input = ",".join(outs)
+        a.mode = "SummarizeForGenomeForCategory" \
+            if "Category" in args.mode or "Context" in args.mode \
+            else "SummarizeForGenome"
+        mutation_rate_summary(a)
+        a.input = a.output
+        a.mode = "FinalizeForCategory" if "ForCategory" in a.mode \
+            else "Finalize"
+        mutation_rate_summary(a)
+        return
     anc, recs, bp, dist, rsid, alleles = _load_pair(args.input)
     epochs = coalrate.epochs_from_bins(*args.bins, args.years_per_gen) \
         if args.bins else coalrate.default_epochs(args.years_per_gen)
@@ -465,6 +521,11 @@ def main(argv=None):
     p.add_argument("--pop_of_interest", default="")
     p.add_argument("--ancestor")
     p.add_argument("--years_per_gen", type=float, default=28.0)
+    # multi-chromosome looping (RelateCoalescentRate.cpp:57-79):
+    # --chr = file of chromosome names; or an integer range
+    p.add_argument("--chr")
+    p.add_argument("--first_chr", type=int)
+    p.add_argument("--last_chr", type=int)
     p.add_argument("--bins", type=lambda s: tuple(map(float, s.split(","))))
     p.add_argument("--num_iter", type=int, default=10)
     p.add_argument("--num_samples", type=int, default=100)

@@ -284,3 +284,37 @@ def test_fileformats_tree_sequence(panel):
                                   "BranchesBelowMutation"])
 def test_treeview_modes(panel, mode):
     _tool(panel, "TreeView", mode, ("--bp_of_interest", "5000"))
+
+
+def test_multi_chromosome_coalescent_rate(panel):
+    """--first_chr/--last_chr loop + genome summarize vs the single-input
+    run (RelateCoalescentRate.cpp:57-79): per-chr sufficient statistics
+    summed in memory must reproduce the whole-genome rates up to the
+    chunk-edge half-dist corrections."""
+    # two "chromosomes" from DivideAncMut
+    out = str(panel["dir"] / "mc")
+    tools_cli.main(["Extract", "--mode", "DivideAncMut",
+                    "-i", panel["run"], "-o", out, "--threads", "2"])
+    tools_cli.main(["CoalescentRate", "--mode", "EstimatePopulationSize",
+                    "-i", out, "-o", out + "_multi",
+                    "--first_chr", "1", "--last_chr", "2"])
+    tools_cli.main(["CoalescentRate", "--mode", "EstimatePopulationSize",
+                    "-i", panel["run"], "-o", out + "_single"])
+    from relate_tpu.evaluate.coalrate import read_coal
+    _, e1, r1 = read_coal(out + "_multi.coal")
+    _, e2, r2 = read_coal(out + "_single.coal")
+    np.testing.assert_allclose(e1, e2)
+    ok = np.isfinite(r1) & np.isfinite(r2) & (r2 > 0)
+    assert ok.sum() > 3
+    np.testing.assert_allclose(r1[ok], r2[ok], rtol=0.05)
+
+
+def test_multi_chromosome_mutation_rate(panel):
+    out = str(panel["dir"] / "mc2")
+    tools_cli.main(["Extract", "--mode", "DivideAncMut",
+                    "-i", panel["run"], "-o", out, "--threads", "2"])
+    tools_cli.main(["MutationRate", "--mode", "Avg",
+                    "-i", out, "-o", out + "_mr",
+                    "--first_chr", "1", "--last_chr", "2"])
+    import os
+    assert os.path.exists(out + "_mr.rate")

@@ -19,7 +19,8 @@ from typing import List, Optional
 import numpy as np
 
 from ..core import mcmc, painting, topology
-from ..core.branch_association import associate_trees, branch_association
+from ..core.branch_association import (associate_trees,
+                                       branch_association_many)
 from ..core.trees import AncesTree, MarginalTree
 from ..io import ancmut, chunking
 from ..io import haps as hio
@@ -133,8 +134,7 @@ def find_equivalent_branches(store: ArtifactStore, c: int):
     ancs = [ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
             for w in range(W)]
     all_trees = [mt.tree for anc in ancs for mt in anc.seq]
-    eqs = [branch_association(all_trees[i], all_trees[i + 1])
-           for i in range(len(all_trees) - 1)]
+    eqs = branch_association_many(all_trees)
     associate_trees(all_trees, eqs)
     for w in range(W):
         ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),

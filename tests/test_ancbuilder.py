@@ -86,3 +86,76 @@ def test_mutation_categories_96():
                 for down in "ACGT":
                     c = collapse_category(up, anc, der, down)
                     assert c in cats, (up, anc, der, down, c)
+
+
+def _random_tree(N, rng):
+    from relate_tpu.core.trees import Tree
+    M = 2 * N - 1
+    parent = np.full(M, -1, np.int32)
+    cl = np.full(M, -1, np.int32)
+    cr = np.full(M, -1, np.int32)
+    avail = list(range(N))
+    nxt = N
+    while len(avail) > 1:
+        a = avail.pop(rng.integers(len(avail)))
+        b = avail.pop(rng.integers(len(avail)))
+        parent[a] = nxt
+        parent[b] = nxt
+        cl[nxt] = a
+        cr[nxt] = b
+        avail.append(nxt)
+        nxt += 1
+    return Tree(parent, cl, cr)
+
+
+def _nni_perturb(tree, rng, k=3):
+    """k random nearest-neighbor interchanges -> a similar neighbor tree."""
+    t = tree.copy()
+    N = t.N
+    for _ in range(k):
+        # pick an internal node with an internal child
+        for _try in range(50):
+            v = int(rng.integers(N, t.num_nodes - 1))
+            p = t.parent[v]
+            if p < 0:
+                continue
+            c = t.child_left[v]
+            sib = t.child_right[p] if t.child_left[p] == v \
+                else t.child_left[p]
+            if c < 0 or sib < 0:
+                continue
+            # swap child c of v with sibling sib of v
+            if t.child_left[v] == c:
+                t.child_left[v] = sib
+            else:
+                t.child_right[v] = sib
+            if t.child_left[p] == sib:
+                t.child_left[p] = c
+            elif t.child_right[p] == sib:
+                t.child_right[p] = c
+            t.parent[sib] = v
+            t.parent[c] = p
+            break
+    return t
+
+
+def test_branch_association_vectorized_matches_reference():
+    """The vectorized matcher must be bit-identical to the loop
+    transcription of anc_builder.cpp:1455-1614 (incl. write order)."""
+    from relate_tpu.core.branch_association import (
+        branch_association_many, branch_association_reference)
+    rng = np.random.default_rng(3)
+    for N in (8, 33, 64):
+        trees = [_random_tree(N, rng)]
+        for _ in range(5):
+            trees.append(_nni_perturb(trees[-1], rng, k=2))
+        trees.append(_random_tree(N, rng))          # unrelated neighbor
+        trees.append(trees[-1].copy())              # identical neighbor
+        want = [branch_association_reference(trees[i], trees[i + 1])
+                for i in range(len(trees) - 1)]
+        got_scalar = [branch_association(trees[i], trees[i + 1])
+                      for i in range(len(trees) - 1)]
+        got_batch = branch_association_many(trees, pair_chunk=3)
+        for w, gs, gb in zip(want, got_scalar, got_batch):
+            np.testing.assert_array_equal(w, gs)
+            np.testing.assert_array_equal(w, gb)

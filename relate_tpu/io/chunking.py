@@ -113,8 +113,13 @@ def plan_chunks_and_windows(G: np.ndarray, memory_gb: float = 5.0):
         window_mem = 0.0
         snps_in_window = 0
         chunk_size = 0
-        while (len(boundaries) + num_windows_overlap < MAX_WINDOWS_PER_CHUNK
-               and chunk_size < max_chunk_size and snp < L):
+        # chunk_size == 0 guard: always consume >= 1 SNP per chunk, else a
+        # pathological case (overlap windows alone filling the window cap)
+        # would loop forever without advancing
+        while (chunk_size == 0
+               or (len(boundaries) + num_windows_overlap
+                   < MAX_WINDOWS_PER_CHUNK
+                   and chunk_size < max_chunk_size)) and snp < L:
             window_mem += float(num_derived[snp]) * (N + 1)
             if window_mem >= min_memory_size and snps_in_window > 10:
                 actual_min_memory = max(actual_min_memory, window_mem)

@@ -58,6 +58,9 @@ def build_parser():
     # first N jax devices — the TPU replacement for RelateParallel.sh
     # --threads (SURVEY §2.5)
     p.add_argument("--devices", type=int, default=0)
+    # host thread pool over chunks (RelateParallel.sh --threads): chunk
+    # stages overlap host-bound work with device dispatches
+    p.add_argument("--threads", type=int, default=1)
     return p
 
 
@@ -95,7 +98,8 @@ def main(argv=None):
                        use_transitions=not args.transversion,
                        sample_ages_path=args.sample_ages, coal=coal,
                        rho_scale=rho_scale, postprocess=args.postprocess,
-                       annot_path=args.annot, mesh=mesh)
+                       annot_path=args.annot, mesh=mesh,
+                       threads=args.threads)
         return 0
 
     from ..utils.trace import stage

@@ -335,7 +335,7 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
             coal: Optional[tuple] = None, cleanup: bool = True,
             verbose: bool = True, rho_scale: float = 1.0,
             postprocess: bool = False, annot_path: Optional[str] = None,
-            mesh=None):
+            mesh=None, threads: int = 1):
     """Relate --mode All (pipeline/Relate.cpp:257-287).
 
     ``rho_scale`` applies the reference's ``--painting theta,rho`` override
@@ -371,9 +371,8 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
     from ..utils.trace import stage, summary
     n_hosts = _jax.process_count()
     host = _jax.process_index()
-    for c in range(plan.num_chunks):
-        if c % n_hosts != host:
-            continue   # another host owns this chunk (filesystem-shared)
+
+    def _process_chunk(c: int):
         with stage(f"chunk{c}.paint", verbose):
             paint(store, c, theta, rho_scale=rho_scale, mesh=mesh)
         with stage(f"chunk{c}.build_topology", verbose):
@@ -390,6 +389,23 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
                                  epochs=epochs, rates=rates, mesh=mesh)
         with stage(f"chunk{c}.combine_sections", verbose):
             combine_sections(store, c)
+
+    # chunks owned by this host (others are filesystem-shared, as in the
+    # reference's job arrays)
+    my_chunks = [c for c in range(plan.num_chunks) if c % n_hosts == host]
+    if threads > 1 and len(my_chunks) > 1:
+        # RelateParallel.sh's bash-job thread pool (SURVEY §2.5): chunks
+        # are independent; device dispatches serialize on the chip while
+        # each chunk's host-bound stages (IO, branch matching, text
+        # formats) overlap with other chunks' device work. Output is
+        # byte-identical to the sequential order (per-chunk seeds).
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            for _ in ex.map(_process_chunk, my_chunks):
+                pass
+    else:
+        for c in my_chunks:
+            _process_chunk(c)
     if n_hosts > 1:
         # barrier: wait for every host's chunk artifacts (the shared
         # filesystem is the reference's own synchronization medium)

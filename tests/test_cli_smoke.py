@@ -318,3 +318,36 @@ def test_multi_chromosome_mutation_rate(panel):
                     "--first_chr", "1", "--last_chr", "2"])
     import os
     assert os.path.exists(out + "_mr.rate")
+
+
+def test_run_all_threads_identical(tmp_path, monkeypatch):
+    """--threads (the RelateParallel.sh thread pool, SURVEY §2.5) must be
+    byte-identical to the sequential chunk order. Chunk overlap constants
+    are shrunk so a 600-SNP panel splits into multiple chunks."""
+    from relate_tpu.io import chunking
+    from relate_tpu.pipeline import relate
+    from relate_tpu.utils.synth import (synth_panel, write_flat_map,
+                                        write_haps_sample)
+    monkeypatch.setattr(chunking, "OVERLAP", 60)
+    monkeypatch.setattr(chunking, "MERGE_DISCARD", 30)
+    monkeypatch.setattr(relate, "MERGE_DISCARD", 30)
+    monkeypatch.setattr(chunking, "MAX_WINDOWS_PER_CHUNK", 4)
+    G, bp = synth_panel(8, 600, seed=11)
+    prefix = str(tmp_path / "p")
+    write_haps_sample(G, bp, prefix)
+    write_flat_map(prefix + ".map", int(bp[-1]))
+
+    mem = 1e-5   # tiny budget -> several chunks on a 600-SNP panel
+    plan, _ = chunking.plan_chunks_and_windows(G, mem)
+    assert plan.num_chunks > 1   # else the pool never engages
+
+    out1 = str(tmp_path / "seq")
+    out2 = str(tmp_path / "par")
+    relate.run_all(prefix + ".haps", prefix + ".sample", prefix + ".map",
+                   out1, seed=1, verbose=False, threads=1, memory_gb=mem)
+    relate.run_all(prefix + ".haps", prefix + ".sample", prefix + ".map",
+                   out2, seed=1, verbose=False, threads=3, memory_gb=mem)
+    with open(out1 + ".anc") as a, open(out2 + ".anc") as b:
+        assert a.read() == b.read()
+    with open(out1 + ".mut") as a, open(out2 + ".mut") as b:
+        assert a.read() == b.read()

@@ -351,3 +351,45 @@ def test_run_all_threads_identical(tmp_path, monkeypatch):
         assert a.read() == b.read()
     with open(out1 + ".mut") as a, open(out2 + ".mut") as b:
         assert a.read() == b.read()
+
+
+def test_crash_recovery_restart_from_stage(panel, tmp_path):
+    """Stage-level restartability (the reference's recovery model,
+    Relate.cpp:33-35 + Clean.cpp): a staged run equals run_all, and after a
+    simulated crash (BuildTopology artifacts lost) re-running from that
+    stage onward reproduces the identical final output."""
+    p = panel["prefix"]
+    store = str(tmp_path / "stages")
+    cli.main(["--mode", "MakeChunks", "--haps", p + ".haps", "--sample",
+              p + ".sample", "--map", p + ".map", "-o", store])
+    cli.main(["--mode", "Paint", "-o", store, "--chunk_index", "0"])
+
+    def from_topology(final):
+        cli.main(["--mode", "BuildTopology", "-o", store,
+                  "--chunk_index", "0", "--seed", "1"])
+        cli.main(["--mode", "FindEquivalentBranches", "-o", store,
+                  "--chunk_index", "0"])
+        cli.main(["--mode", "InferBranchLengths", "-o", store,
+                  "--chunk_index", "0", "--seed", "1"])
+        cli.main(["--mode", "CombineSections", "-o", store,
+                  "--chunk_index", "0"])
+        cli.main(["--mode", "Finalize", "-o", final, "--store", store])
+
+    final1 = str(tmp_path / "final1")
+    from_topology(final1)
+    # staged flow == run_all (same seeds/defaults)
+    with open(final1 + ".anc") as a, open(panel["run"] + ".anc") as b:
+        assert a.read() == b.read()
+    with open(final1 + ".mut") as a, open(panel["run"] + ".mut") as b:
+        assert a.read() == b.read()
+
+    # crash: every BuildTopology artifact of chunk 0 is lost
+    for f in os.listdir(os.path.join(store, "chunk_0")):
+        if f.startswith(("trees_", "muts_", "combined")):
+            os.remove(os.path.join(store, "chunk_0", f))
+    final2 = str(tmp_path / "final2")
+    from_topology(final2)
+    with open(final1 + ".anc") as a, open(final2 + ".anc") as b:
+        assert a.read() == b.read()
+    with open(final1 + ".mut") as a, open(final2 + ".mut") as b:
+        assert a.read() == b.read()

@@ -224,15 +224,16 @@ def branch_association_many(trees: List[Tree], pair_chunk: int = 64,
     T = len(trees)
     if T < 2:
         return []
+    # Host BLAS is the default: at FEB's sizes ((2N-1, N) operands, tiny
+    # arithmetic intensity) the device matmul is bandwidth-bound on the
+    # host<->device transfers of the (B, M, M) products, which loses to
+    # sgemm unless the link is fast and N is large. Opt in explicitly on
+    # hosts with direct-attached devices.
     jnp = None
-    if use_device is None or use_device:
+    if use_device:
         try:
-            import jax
             import jax.numpy as jnp_mod
-            # the CPU backend's einsum loses to BLAS sgemm; only dispatch
-            # to an actual accelerator unless explicitly requested
-            if use_device or jax.default_backend() != "cpu":
-                jnp = jnp_mod
+            jnp = jnp_mod
         except Exception:  # pragma: no cover - jax always present
             jnp = None
 

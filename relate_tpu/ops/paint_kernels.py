@@ -195,9 +195,13 @@ def _bwd_kernel(D_ref, beta_end_ref, kmask_ref, mism_ref, mism_nxt_ref,
     bsum_scr[:, :] = bsum_eff
 
 
-def _tile(B: int) -> int:
-    for tb in (512, 256, 128):
-        if B % tb == 0:
+def _tile(B: int, N: int = 0) -> int:
+    """Target-tile width. The per-step VMEM working set scales with N*TB
+    (alpha0/kmask residents, K*N*TB streams, N*TB scratch), so TB must
+    shrink as N grows: N*TB <= 2^17 keeps the fwd/bwd blocks inside the
+    ~16MB scoped-VMEM limit (N=1024, TB=512 measured 19.07M > 16M)."""
+    for tb in (512, 256, 128, 64, 32):
+        if B % tb == 0 and (N * tb <= (1 << 17) or tb == 32):
             return tb
     return B
 
@@ -219,7 +223,7 @@ def fwd_pallas(D, alpha0, kmask, mism, pfacm1, nxtm1, *, theta,
     mism (Dmax,N,B) i8; pfacm1/nxtm1 (Dmax,B) f32 (interval j-1 at row j).
     Returns alphas (Dmax,N,B) f32 (post-rescale rows), lss (Dmax,B) f32."""
     Dmax, N, B = mism.shape
-    TB = _tile(B)
+    TB = _tile(B, N)
     K = _krows(Dmax, N, TB)
     grid = (B // TB, Dmax // K)
     blk3 = lambda t, j: (j, 0, t)
@@ -262,7 +266,7 @@ def bwd_pallas(D, beta_end, kmask, mism, pfacp1, nxtp1, alphas, lsf, *,
     row j. alphas/lsf: the forward outputs. Returns topo (Dmax,N,B) f32
     (zeros on rows >= D[b]), lstot (Dmax,B) f32."""
     Dmax, N, B = mism.shape
-    TB = _tile(B)
+    TB = _tile(B, N)
     K = _krows(Dmax, N, TB)
     nblk = Dmax // K
     grid = (B // TB, nblk)

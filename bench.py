@@ -3,7 +3,7 @@
 Prints ONE JSON line with the primary metric (combined painting+tree-build
 SNPs/s per chip — BASELINE.json's metric) plus per-stage detail fields.
 
-Workload: N=256 haplotypes x L=30,000 SNPs (SFS-distributed frequencies,
+Workload: N=256 haplotypes x L=30,000 SNPs (coalescent-simulated panel,
 seed 7) — the full all-vs-all painting posterior (stepping stones + window
 repaint) followed by BuildTopology over the same window, exactly the two
 stages the reference splits into `--mode Paint` and `--mode BuildTopology`.
@@ -15,11 +15,17 @@ flags, single core, measured on this machine — see tests/golden/README.md):
 - Paint+BT:      57.2 s   =>   524 SNPs/s   (combined primary baseline)
 - --mode All:   270.7 s e2e on the same panel
 
-Set RELATE_TPU_BENCH_E2E=0 to skip the end-to-end run_all measurement.
+The whole benchmark runs under a wall-clock watchdog (default 480 s,
+RELATE_TPU_BENCH_BUDGET_S to override): whatever stages completed by then
+are printed as the one JSON line, so a slow stage can never produce an
+empty result. Stages run in order of importance (paint -> treebuild ->
+e2e); the e2e stage is skipped when the remaining budget is too small or
+RELATE_TPU_BENCH_E2E=0.
 """
 import json
 import os
 import shutil
+import signal
 import sys
 import tempfile
 import time
@@ -34,8 +40,26 @@ BASELINE_COMBINED_SNPS_PER_S = 30000.0 / (3.08 + 54.13)
 BASELINE_E2E_S = 270.7                 # C++ --mode All, same panel
 N, L = 256, 30000
 
+RESULT = {
+    "metric": "paint_plus_treebuild_snps_per_s_per_chip",
+    "value": 0.0,
+    "unit": "SNPs/s (N=256 painting posterior + BuildTopology)",
+    "vs_baseline": 0.0,
+}
+_t_start = time.time()
+
+
+def _emit_and_exit(signum=None, frame=None):
+    RESULT["bench_wall_s"] = round(time.time() - _t_start, 1)
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
+
 
 def main():
+    budget = float(os.environ.get("RELATE_TPU_BENCH_BUDGET_S", "480"))
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    signal.alarm(int(budget))
+
     import jax
 
     from relate_tpu.core import painting, topology_device
@@ -64,11 +88,20 @@ def main():
     paint_s = (time.time() - t0) / reps
     paint_snps = L / paint_s
 
+    RESULT["metric"] = "painting_snps_per_s_per_chip"
+    RESULT["value"] = round(paint_snps, 1)
+    RESULT["unit"] = "SNPs/s (N=256 all-vs-all painting posterior)"
+    RESULT["vs_baseline"] = round(paint_snps / BASELINE_PAINT_SNPS_PER_S, 3)
+    RESULT["painting_snps_per_s"] = round(paint_snps, 1)
+    RESULT["painting_vs_baseline"] = RESULT["vs_baseline"]
+
     # ---- tree build: full-window BuildTopology ----------------------------
-    # warm-up on a short prefix compiles the section kernel at (N, L)
+    # warm-up run at the SAME padded size bucket as the timed run (a smaller
+    # prefix would compile a different bucket and leave the big compile
+    # inside the timed region)
     kernel = topology_device.make_section_kernel(model.theta, N, L, 1)
     topology_device.build_topology_section_device(
-        painter, cps[0], G, rpos, state, bp, 0, 256, seed=1, kernel=kernel)
+        painter, cps[0], G, rpos, state, bp, 0, L - 1, seed=1, kernel=kernel)
     t0 = time.time()
     res = topology_device.build_topology_section_device(
         painter, cps[0], G, rpos, state, bp, 0, L - 1, seed=1,
@@ -80,22 +113,22 @@ def main():
     combined_s = L / paint_snps + bt_s
     combined_snps = L / combined_s
 
-    result = {
-        "metric": "paint_plus_treebuild_snps_per_s_per_chip",
-        "value": round(combined_snps, 1),
-        "unit": "SNPs/s (N=256 painting posterior + BuildTopology)",
-        "vs_baseline": round(combined_snps / BASELINE_COMBINED_SNPS_PER_S,
-                             3),
-        "painting_snps_per_s": round(paint_snps, 1),
-        "painting_vs_baseline": round(paint_snps
-                                      / BASELINE_PAINT_SNPS_PER_S, 3),
-        "treebuild_snps_per_s": round(bt_snps, 1),
-        "treebuild_vs_baseline": round(bt_snps / BASELINE_BT_SNPS_PER_S, 3),
-        "num_trees": num_trees,
-    }
+    RESULT["metric"] = "paint_plus_treebuild_snps_per_s_per_chip"
+    RESULT["value"] = round(combined_snps, 1)
+    RESULT["unit"] = "SNPs/s (N=256 painting posterior + BuildTopology)"
+    RESULT["vs_baseline"] = round(
+        combined_snps / BASELINE_COMBINED_SNPS_PER_S, 3)
+    RESULT["treebuild_snps_per_s"] = round(bt_snps, 1)
+    RESULT["treebuild_vs_baseline"] = round(
+        bt_snps / BASELINE_BT_SNPS_PER_S, 3)
+    RESULT["num_trees"] = num_trees
 
     # ---- e2e: run_all on the same panel vs C++ --mode All -----------------
-    if os.environ.get("RELATE_TPU_BENCH_E2E", "1") != "0":
+    # only attempted when enough budget remains (the watchdog would still
+    # rescue a slow run, but a clean skip keeps the record unambiguous)
+    remaining = budget - (time.time() - _t_start)
+    if (os.environ.get("RELATE_TPU_BENCH_E2E", "1") != "0"
+            and remaining > 150.0):
         from relate_tpu.pipeline import relate
         from relate_tpu.utils.synth import write_flat_map, write_haps_sample
         d = tempfile.mkdtemp(prefix="relate_bench_")
@@ -108,12 +141,13 @@ def main():
                            prefix + ".map", os.path.join(d, "out"),
                            seed=1, verbose=False)
             e2e_s = time.time() - t0
-            result["e2e_s"] = round(e2e_s, 1)
-            result["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_s, 3)
+            RESULT["e2e_s"] = round(e2e_s, 1)
+            RESULT["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_s, 3)
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    print(json.dumps(result))
+    signal.alarm(0)
+    _emit_and_exit()
 
 
 if __name__ == "__main__":

@@ -38,6 +38,7 @@ Deliberate deviations from the reference (documented, distribution-level):
 """
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -47,6 +48,13 @@ import numpy as np
 from .trees import Tree
 
 P2 = 0.7  # UpdateOneEvent share of proposals
+
+# convergence rounds fused into one device execution between host checks:
+# large enough that link latency amortizes, small enough that a single
+# execution stays well under the tunneled TPU runtime's watchdog (long
+# single executions crash the axon worker)
+ROUNDS_PER_SPAN = int(os.environ.get("RELATE_TPU_MCMC_ROUNDS_PER_SPAN",
+                                     "10"))
 
 # max B*M cells per compiled chain-batch program: the axon TPU runtime
 # falls over above ~4k chains at M=511 (worker crash); cap the product
@@ -397,7 +405,12 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
             jnp.where(acc, node_k, sidx[new_order]))
         return coords2, order2, sidx2
 
-    def step(st: ChainStatic, s: ChainState, key, accumulate: bool):
+    def step(st: ChainStatic, s: ChainState, key, accumulate: bool,
+             active=None):
+        """One proposal per tree; ``active`` (B,) bool, when given, freezes
+        retired chains (their state and running sums stop updating — the
+        device-side equivalent of the reference converging each tree
+        independently, branch_length_estimator.cpp:2983-3073)."""
         B = s.coords.shape[0]
 
         def per_tree(b, kb):
@@ -427,9 +440,20 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
 
         keys = jax.random.split(key, B)
         coords, order, sidx, dprop = jax.vmap(per_tree)(jnp.arange(B), keys)
+        if active is not None:
+            m = active[:, None]
+            coords = jnp.where(m, coords, s.coords)
+            order = jnp.where(m, order, s.order)
+            sidx = jnp.where(m, sidx, s.sorted_idx)
+            dprop = jnp.where(m, dprop, 0)
         if accumulate:
             ssum, scomp = _kahan_add(s.ssum, s.scomp, coords)
-            count = s.count + 1.0
+            if active is not None:
+                ssum = jnp.where(active[:, None], ssum, s.ssum)
+                scomp = jnp.where(active[:, None], scomp, s.scomp)
+                count = s.count + active.astype(jnp.float32)
+            else:
+                count = s.count + 1.0
             cprop = s.cprop + dprop
         else:
             ssum, scomp, count, cprop = s.ssum, s.scomp, s.count, s.cprop
@@ -464,6 +488,54 @@ class _Block:
             mono = node_ok[:, N:].all(axis=1)
             return count_ok & mono
         self.converged = jax.jit(converged)
+
+        def run_rounds(st, s, key, conv, rnd0, rounds_cap, block_steps):
+            """A bounded span of convergence rounds as one device program:
+            ``lax.while_loop`` until every tree converged or ``rounds_cap``
+            (a traced scalar — no recompile per span) is reached, with
+            converged chains frozen by the step mask. The adaptive loop
+            (branch_length_estimator.cpp:2947-3073) is split into spans
+            because very long single executions crash the tunneled TPU
+            runtime; the host loop in :func:`run_mcmc` chains spans with
+            only a scalar `all(conv)` download between them."""
+            def cond(c):
+                _, rnd, conv = c
+                return (rnd < rounds_cap) & ~conv.all()
+
+            def body(c):
+                s, rnd, conv = c
+                kb = jax.random.fold_in(key, 1_000_000 + rnd)
+                active = ~conv
+
+                def bbody(s, i):
+                    return self._step(st, s, jax.random.fold_in(kb, i),
+                                      True, active), None
+                s, _ = jax.lax.scan(bbody, s, jnp.arange(block_steps))
+                return (s, rnd + 1, conv | converged(st, s))
+
+            return jax.lax.while_loop(cond, body, (s, rnd0, conv))
+        self.run_rounds = jax.jit(run_rounds,
+                                  static_argnames=("block_steps",))
+
+        def run_to_convergence(st, s, key, transient_steps, block_steps,
+                               max_rounds, rounds_per_span=None):
+            """Transient + per-tree convergence loop (host-chained spans)."""
+            if rounds_per_span is None:
+                rounds_per_span = ROUNDS_PER_SPAN
+            s = self.run(st, s, key, transient_steps, False)
+            B = int(s.coords.shape[0])
+            conv = jnp.zeros(B, bool)
+            rnd = jnp.int32(0)
+            rnd_h = 0
+            while rnd_h < max_rounds:
+                cap = jnp.int32(min(rnd_h + rounds_per_span, max_rounds))
+                s, rnd, conv = self.run_rounds(st, s, key, conv, rnd, cap,
+                                               block_steps)
+                rnd_h = int(rnd)
+                if bool(jax.device_get(conv.all())):
+                    break
+            return s, rnd_h, conv
+        self.run_to_convergence = run_to_convergence
 
 
 def _initial_order(tree: Tree, rng: np.random.Generator):
@@ -636,10 +708,16 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
                 max_batch=max_batch))
         return np.concatenate(outs, axis=0)
     B_real = len(trees)
+    # pad the batch to a power-of-two bucket (and a device-count multiple
+    # under a mesh) with copies of the last tree: bounds the number of
+    # compiled chain-batch shapes to log2(max_batch); padded chains' outputs
+    # are dropped
+    bucket = 1 << max(B_real - 1, 0).bit_length()
+    bucket = max(min(bucket, max_batch), 1)
     if mesh is not None:
         ndev = int(mesh.devices.size)
-        pad = (-B_real) % ndev
-        trees = list(trees) + [trees[-1]] * pad
+        bucket = -(-bucket // ndev) * ndev
+    trees = list(trees) + [trees[-1]] * (bucket - B_real)
     B = len(trees)
     N = trees[0].N
     M = trees[0].num_nodes
@@ -735,81 +813,17 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     block = _Block(N, M, use_vp, use_pair)
     key = jax.random.PRNGKey(seed)
 
-    # transient
-    state = block.run(st, state, jax.random.fold_in(key, 0),
-                      50 * delta, False)
-
-    # Main loop with PER-TREE convergence: the reference converges each
-    # tree independently (branch_length_estimator.cpp:2983-3073); gating a
-    # vmapped batch on `.all()` would let one stubborn chain waste the
-    # whole fleet's proposals. Converged chains retire (their running
-    # sums are saved) and the remaining batch compacts to the next
-    # power-of-two bucket, re-jitting at most log2(B) shapes.
+    # Transient + PER-TREE convergence loop, all in one device program:
+    # the reference converges each tree independently
+    # (branch_length_estimator.cpp:2983-3073); here converged chains freeze
+    # (their state and running sums stop updating) while the rest continue,
+    # and the only host<->device round-trip per batch is the final download.
     block_steps = max(delta, 128)
-    final_ssum = np.zeros((B, M), dtype=np.float64)
-    final_count = np.zeros(B, dtype=np.float64)
-    active = np.arange(B)
-    cur_B = B       # current (possibly padded) array batch size
-    ndev = int(mesh.devices.size) if mesh is not None else 1
+    state, _rounds, _conv = block.run_to_convergence(
+        st, state, key, 50 * delta, block_steps, max_rounds)
 
-    # batch-leading fields by name (shape tests are ambiguous: kc2_pos is
-    # (M,) and M can coincide with the batch size)
-    _STATIC_BATCH = ("parent", "child_left", "child_right", "num_events",
-                     "mut_rate", "rates", "cumR", "F")
-
-    def _gather_rows(tree_obj, rows, n_batch):
-        kw = {}
-        for name in tree_obj._fields:
-            x = getattr(tree_obj, name)
-            if x is None:
-                kw[name] = None
-                continue
-            batch = (isinstance(tree_obj, ChainState)
-                     or name in _STATIC_BATCH)
-            kw[name] = np.asarray(x)[rows] if batch else x
-        return type(tree_obj)(**kw)
-
-    for rnd in range(1, max_rounds + 1):
-        state = block.run(st, state, jax.random.fold_in(key, rnd),
-                          block_steps, True)
-        # pads (beyond the real active rows) mirror their source chain;
-        # exclude them from the convergence bookkeeping
-        conv = np.asarray(block.converged(st, state))[: len(active)]
-        if conv.all():
-            break
-        n_rem = int((~conv).sum())
-        bucket = 1 << max(n_rem - 1, 0).bit_length()
-        bucket = max(bucket, ndev)
-        if mesh is not None:
-            bucket = -(-bucket // ndev) * ndev
-        if bucket <= cur_B // 2:
-            # retire converged chains, compact the rest (pad by repeating
-            # the last remaining row; padded outputs are dropped)
-            done = np.nonzero(conv)[0]
-            ssum_h = np.asarray(state.ssum, dtype=np.float64)
-            count_h = np.asarray(state.count, dtype=np.float64)
-            final_ssum[active[done]] = ssum_h[done]
-            final_count[active[done]] = count_h[done]
-            rem = np.nonzero(~conv)[0]
-            active = active[rem]
-            rows = np.concatenate(
-                [rem, np.repeat(rem[-1:], bucket - n_rem)])
-            st = _gather_rows(st, rows, cur_B)
-            state = _gather_rows(state, rows, cur_B)
-            cur_B = bucket
-            if mesh is not None:
-                from ..parallel.mesh import shard_batch
-                st = shard_batch(mesh, st, bucket, mesh_axis)
-                state = shard_batch(mesh, state, bucket, mesh_axis)
-            else:
-                st = jax.tree.map(jnp.asarray, st)
-                state = jax.tree.map(jnp.asarray, state)
-
-    # save whatever is still active (converged or hit max_rounds)
-    ssum_h = np.asarray(state.ssum, dtype=np.float64)
-    count_h = np.asarray(state.count, dtype=np.float64)
-    final_ssum[active] = ssum_h[: len(active)]
-    final_count[active] = count_h[: len(active)]
+    final_ssum = np.asarray(state.ssum, dtype=np.float64)
+    final_count = np.asarray(state.count, dtype=np.float64)
 
     avg = final_ssum / np.maximum(final_count, 1.0)[:, None]
     bl = np.zeros((B, M), dtype=np.float64)

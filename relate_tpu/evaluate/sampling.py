@@ -133,14 +133,10 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
     block = mcmc._Block(N, M, True)
     key = jax.random.PRNGKey(seed)
     # burn-in to convergence (the reference's init=1 converged run,
-    # SampleBranchLengths -> EstimateBranchLengths init pass)
-    state = block.run(st, state, jax.random.fold_in(key, 0),
-                      50 * delta, False)
-    for rnd in range(1, 2000):
-        state = block.run(st, state, jax.random.fold_in(key, 1_000_000 + rnd),
-                          max(delta, 128), True)
-        if bool(np.asarray(block.converged(st, state)).all()):
-            break
+    # SampleBranchLengths -> EstimateBranchLengths init pass) — one device
+    # program, converged chains frozen (see mcmc.run_to_convergence)
+    state, _, _ = block.run_to_convergence(st, state, key, 50 * delta,
+                                           max(delta, 128), 2000)
 
     out = np.empty((num_samples, B, M), dtype=np.float64)
     for s in range(num_samples):

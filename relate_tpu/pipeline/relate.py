@@ -125,6 +125,25 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
                                res.muts)
 
 
+def _associate_many(all_trees):
+    """Pick the FEB matcher: the fully device-resident batch matcher
+    (core/branch_association_device.py) on accelerator backends with
+    enough pairs to amortize its compile, else the host matcher. Both
+    produce identical equivalences (differential-tested)."""
+    import jax as _jax
+    use_dev = os.environ.get("RELATE_TPU_FEB_DEVICE")
+    if use_dev is None:
+        use_dev = (_jax.default_backend() != "cpu"
+                   and len(all_trees) >= 65)
+    else:
+        use_dev = use_dev != "0"
+    if use_dev:
+        from ..core.branch_association_device import (
+            branch_association_many_device)
+        return branch_association_many_device(all_trees)
+    return branch_association_many(all_trees)
+
+
 def find_equivalent_branches(store: ArtifactStore, c: int):
     """Associate branches across all adjacent trees of a chunk (incl. window
     boundaries) and propagate events/spans
@@ -134,7 +153,7 @@ def find_equivalent_branches(store: ArtifactStore, c: int):
     ancs = [ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
             for w in range(W)]
     all_trees = [mt.tree for anc in ancs for mt in anc.seq]
-    eqs = branch_association_many(all_trees)
+    eqs = _associate_many(all_trees)
     associate_trees(all_trees, eqs)
     for w in range(W):
         ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),

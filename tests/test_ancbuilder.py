@@ -159,3 +159,39 @@ def test_branch_association_vectorized_matches_reference():
         for w, gs, gb in zip(want, got_scalar, got_batch):
             np.testing.assert_array_equal(w, gs)
             np.testing.assert_array_equal(w, gb)
+
+
+def _rand_tree(N, rng):
+    from relate_tpu.core.trees import Tree
+    M = 2 * N - 1
+    parent = np.full(M, -1, np.int32)
+    cl = np.full(M, -1, np.int32)
+    cr = np.full(M, -1, np.int32)
+    act = list(range(N))
+    for t in range(N - 1):
+        i = act.pop(rng.integers(len(act)))
+        j = act.pop(rng.integers(len(act)))
+        p = N + t
+        parent[i] = p
+        parent[j] = p
+        cl[p] = i
+        cr[p] = j
+        act.append(p)
+    return Tree(parent, cl, cr)
+
+
+def test_branch_association_device_matches_host():
+    """The fully device-resident FEB matcher must reproduce the host
+    matcher exactly (incl. tie orders) on random and identical adjacent
+    trees."""
+    from relate_tpu.core.branch_association import branch_association_many
+    from relate_tpu.core.branch_association_device import (
+        branch_association_many_device)
+    rng = np.random.default_rng(3)
+    trees = [_rand_tree(32, rng) for _ in range(9)]
+    trees.insert(4, trees[3].copy())    # one identical adjacent pair
+    eq_h = branch_association_many(trees)
+    eq_d = branch_association_many_device(trees, pair_chunk=4)
+    assert len(eq_h) == len(eq_d)
+    for a, b in zip(eq_h, eq_d):
+        assert np.array_equal(a, b)

@@ -15,19 +15,21 @@ flags, single core, measured on this machine — see tests/golden/README.md):
 - Paint+BT:      57.2 s   =>   524 SNPs/s   (combined primary baseline)
 - --mode All:   270.7 s e2e on the same panel
 
-The whole benchmark runs under a wall-clock watchdog (default 480 s,
-RELATE_TPU_BENCH_BUDGET_S to override): whatever stages completed by then
-are printed as the one JSON line, so a slow stage can never produce an
-empty result. Stages run in order of importance (paint -> treebuild ->
-e2e); the e2e stage is skipped when the remaining budget is too small or
-RELATE_TPU_BENCH_E2E=0.
+Timeout safety: the stages run in a daemon worker thread that updates the
+RESULT dict as each stage completes; the MAIN thread only waits on a
+wall-clock budget (default 420 s, RELATE_TPU_BENCH_BUDGET_S to override)
+and then prints whatever RESULT holds. A worker stuck inside a C call
+(e.g. a ~250 s cold-start of the axon TPU tunnel, observed in round 2)
+therefore cannot block emission the way a signal handler could. Stages
+run in order of importance (paint -> treebuild -> e2e); the e2e stage is
+skipped when the remaining budget is too small or RELATE_TPU_BENCH_E2E=0.
 """
 import json
 import os
 import shutil
-import signal
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -49,21 +51,24 @@ RESULT = {
 _t_start = time.time()
 
 
-def _emit_and_exit(signum=None, frame=None):
+def _note(msg):
+    print("[bench %6.1fs] %s" % (time.time() - _t_start, msg),
+          file=sys.stderr, flush=True)
+
+
+def _emit_and_exit():
     RESULT["bench_wall_s"] = round(time.time() - _t_start, 1)
     print(json.dumps(RESULT), flush=True)
     os._exit(0)
 
 
-def main():
-    budget = float(os.environ.get("RELATE_TPU_BENCH_BUDGET_S", "480"))
-    signal.signal(signal.SIGALRM, _emit_and_exit)
-    signal.alarm(int(budget))
-
+def _stages(budget):
     import jax
 
     from relate_tpu.core import painting, topology_device
     from relate_tpu.utils import synth
+
+    _note("jax devices: %s" % (jax.devices(),))
 
     G, bp = synth.synth_panel(N, L)
     r = np.full(L, 2500 * 0.5e-8 * 500)
@@ -80,6 +85,7 @@ def main():
     cps = painter.paint_stepping_stones(np.array([0, L]))
     out = painter.repaint(cps[0])
     float(force(out.topology))             # warm up (compile)
+    _note("paint warmup done")
     reps = 5
     t0 = time.time()
     for _ in range(reps):
@@ -87,6 +93,7 @@ def main():
     float(force(out.topology))
     paint_s = (time.time() - t0) / reps
     paint_snps = L / paint_s
+    _note("paint: %.3f s/window (%.0f SNPs/s)" % (paint_s, paint_snps))
 
     RESULT["metric"] = "painting_snps_per_s_per_chip"
     RESULT["value"] = round(paint_snps, 1)
@@ -102,6 +109,7 @@ def main():
     kernel = topology_device.make_section_kernel(model.theta, N, L, 1)
     topology_device.build_topology_section_device(
         painter, cps[0], G, rpos, state, bp, 0, L - 1, seed=1, kernel=kernel)
+    _note("treebuild warmup done")
     t0 = time.time()
     res = topology_device.build_topology_section_device(
         painter, cps[0], G, rpos, state, bp, 0, L - 1, seed=1,
@@ -109,6 +117,8 @@ def main():
     bt_s = time.time() - t0
     bt_snps = L / bt_s
     num_trees = len(res.anc.seq)
+    _note("treebuild: %.2f s (%.0f SNPs/s, %d trees)"
+          % (bt_s, bt_snps, num_trees))
 
     combined_s = L / paint_snps + bt_s
     combined_snps = L / combined_s
@@ -143,10 +153,28 @@ def main():
             e2e_s = time.time() - t0
             RESULT["e2e_s"] = round(e2e_s, 1)
             RESULT["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_s, 3)
+            _note("e2e: %.1f s" % e2e_s)
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    signal.alarm(0)
+
+def main():
+    budget = float(os.environ.get("RELATE_TPU_BENCH_BUDGET_S", "420"))
+    done = threading.Event()
+
+    def run():
+        try:
+            _stages(budget)
+        except BaseException as e:           # noqa: BLE001 — record, emit
+            RESULT["error"] = "%s: %s" % (type(e).__name__, e)
+            _note("worker error: %s" % RESULT["error"])
+        finally:
+            done.set()
+
+    worker = threading.Thread(target=run, daemon=True)
+    worker.start()
+    if not done.wait(budget):
+        _note("budget reached; emitting partial result")
     _emit_and_exit()
 
 

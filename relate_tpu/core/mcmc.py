@@ -93,10 +93,30 @@ class ChainState(NamedTuple):
     coords: jnp.ndarray       # (B, M) f32 node ages (units of Ne generations)
     order: jnp.ndarray        # (B, M) i32
     sorted_idx: jnp.ndarray   # (B, M) i32
+    cs: jnp.ndarray           # (B, M) f32 ages in sorted order — the
+    #   invariant cs == coords[sorted_idx] is maintained incrementally so
+    #   the hot path never performs a (B, M) permutation gather (TPU
+    #   gathers cost ~100x an elementwise op; see make_step_fn)
     ssum: jnp.ndarray         # (B, M) f32 Kahan sum of coords
     scomp: jnp.ndarray        # (B, M) f32 Kahan compensation
     count: jnp.ndarray        # (B,) f32
     cprop: jnp.ndarray        # (B, M) i32 proposal counts (internal nodes)
+
+
+def init_chain_state(coords0, order0, sidx0) -> "ChainState":
+    """Build a ChainState from host arrays, establishing the cs invariant."""
+    coords0 = np.asarray(coords0, np.float32)
+    sidx0 = np.asarray(sidx0, np.int32)
+    B, M = coords0.shape
+    cs0 = np.take_along_axis(coords0, sidx0, axis=1)
+    return ChainState(
+        coords=jnp.asarray(coords0),
+        order=jnp.asarray(np.asarray(order0, np.int32)),
+        sorted_idx=jnp.asarray(sidx0), cs=jnp.asarray(cs0),
+        ssum=jnp.zeros((B, M), jnp.float32),
+        scomp=jnp.zeros((B, M), jnp.float32),
+        count=jnp.zeros((B,), jnp.float32),
+        cprop=jnp.zeros((B, M), jnp.int32))
 
 
 def _log1p(x):
@@ -202,10 +222,23 @@ def _prior_window_pair(st: ChainStatic, b, N, cs, sidx, lo, hi):
     return out + logr
 
 
-def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
-    """One MCMC proposal, vmapped over the tree batch."""
+def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False,
+                 use_ages: bool = False):
+    """One MCMC proposal, vmapped over the tree batch.
 
-    def update_one_event(st: ChainStatic, s: ChainState, b, node_k, keys):
+    Hot-path structure (the step runs ~10^4 times per tree batch, so every
+    per-step op counts): the proposal type is ONE global coin per step
+    (``lax.cond`` — only the chosen branch executes; the chains remain a
+    valid 70/30 kernel mixture, the coin just stops being independent
+    across trees), uniforms are drawn batched instead of per-tree key
+    splits, all single-element updates are ``where`` forms (elementwise,
+    fusable) instead of scatters, and the sorted-order update is a
+    shift-gather instead of an inverse-permutation scatter. With
+    contemporary samples (``use_ages=False``) the per-position lineage
+    profile is the static ``kc2_pos`` (leaves always occupy the first N
+    sorted positions), skipping two cumsums per proposal."""
+
+    def update_one_event(st: ChainStatic, s: ChainState, b, node_k, u1, u2):
         parent = st.parent[b]
         cl = st.child_left[b]
         cr = st.child_right[b]
@@ -214,17 +247,24 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
         coords = s.coords[b]
         order = s.order[b]
         sidx = s.sorted_idx[b]
+        cs = s.cs[b]
 
         is_root = node_k == M - 1
         par = parent[node_k]
         c1 = cl[node_k]
         c2 = cr[node_k]
-        u1 = jax.random.uniform(keys[0])
-        u2 = jax.random.uniform(keys[1])
+        # pack the per-node scalar reads into a handful of tiny gathers
+        # (vmap batches each indexed read into its own gather op; packed
+        # (B, 4) gathers keep the op count low)
+        idx4 = jnp.stack([node_k, par, c1, c2])
+        co4 = coords[idx4]
+        or4 = order[idx4]
+        ne4 = ne[idx4]
+        mr4 = mr[idx4]
 
         # --- root branch ---------------------------------------------
-        cmax = jnp.maximum(coords[c1], coords[c2])
-        tau_old_r = coords[node_k] - cmax
+        cmax = jnp.maximum(co4[2], co4[3])
+        tau_old_r = co4[0] - cmax
         pos_r = tau_old_r > 0
         tau_new_r = jnp.where(pos_r, -jnp.log(u1) * tau_old_r, -jnp.log(u1))
         delta_r = jnp.where(pos_r, tau_new_r - tau_old_r, tau_new_r)
@@ -238,7 +278,7 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
             # their pair rate f_c1^T R f_c2 (branch_length_estimator.cpp:613)
             fc1 = st.F[b][c1]
             fc2 = st.F[b][c2]
-            rootc = coords[node_k]
+            rootc = co4[0]
             bi = lambda Mx: fc1 @ Mx @ fc2
             llr_r = llr_r + (
                 -(bi(_pair_IR(st, rootc + delta_r)) - bi(_pair_IR(st, cmax)))
@@ -248,8 +288,7 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
                 - jnp.log(jnp.maximum(
                     bi(st.Rg[_pair_epoch(st, rootc)]), 1e-30)))
         elif use_vp:
-            cs_old = coords[sidx]
-            rootc = coords[node_k]
+            rootc = co4[0]
             llr_r = llr_r + (
                 -(_rate_integral(st, b, rootc + delta_r)
                   - _rate_integral(st, b, cmax))
@@ -261,33 +300,37 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
         else:
             llr_r = llr_r - delta_r
         # mutation terms (children only)
-        tbl = coords[node_k] - coords[c1]
-        tbr = coords[node_k] - coords[c2]
-        mut_r = (-mr[c1] - mr[c2]) * delta_r
-        mut_r = mut_r + jnp.where(ne[c1] >= 1.0,
-                                  ne[c1] * _log1p(delta_r / tbl), 0.0)
-        mut_r = mut_r + jnp.where(ne[c2] >= 1.0,
-                                  ne[c2] * _log1p(delta_r / tbr), 0.0)
+        tbl = co4[0] - co4[2]
+        tbr = co4[0] - co4[3]
+        mut_r = (-mr4[2] - mr4[3]) * delta_r
+        mut_r = mut_r + jnp.where(ne4[2] >= 1.0,
+                                  ne4[2] * _log1p(delta_r / tbl), 0.0)
+        mut_r = mut_r + jnp.where(ne4[3] >= 1.0,
+                                  ne4[3] * _log1p(delta_r / tbr), 0.0)
         llr_r = llr_r + mut_r
         llr_r = jnp.where((tbl == 0.0) | (tbr == 0.0), jnp.inf, llr_r)
         llr_r = jnp.where((tbl <= -delta_r) | (tbr <= -delta_r),
                           -jnp.inf, llr_r)
         acc_r = jnp.log(u2) < llr_r
-        coords_root = coords.at[node_k].add(jnp.where(acc_r, delta_r, 0.0))
+        nodes = jnp.arange(M)
+        pos = nodes
+        coords_root = coords + jnp.where(
+            (nodes == node_k) & acc_r, delta_r, 0.0)
+        # the root always occupies the last sorted position (it is the
+        # oldest event: every node's ancestor chain ends at it)
+        cs_root = cs + jnp.where((pos == M - 1) & acc_r, delta_r, 0.0)
 
         # --- internal branch -----------------------------------------
-        tb = coords[par] - coords[node_k]
+        tb = co4[1] - co4[0]
         tau_below = jnp.minimum(tbl, tbr)
         T = tau_below + tb
         tau_new_below = u1 * T
         delta = tau_new_below - tau_below
-        cnew = coords[node_k] + delta
-        k = order[node_k]
-        kp = order[par]
-        kc = jnp.maximum(order[c1], order[c2])
-        cs = coords[sidx]
+        cnew = co4[0] + delta
+        k = or4[0]
+        kp = or4[1]
+        kc = jnp.maximum(or4[2], or4[3])
 
-        pos = jnp.arange(M)
         up_cnt = ((pos > k) & (pos < kp) & (cs < cnew)).sum()
         dn_cnt = ((pos < k) & (pos > kc) & (cs > cnew)).sum()
         k_new = k + up_cnt - dn_cnt
@@ -295,22 +338,43 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
         o = order
         newo = jnp.where((o > k) & (o <= k_new), o - 1,
                          jnp.where((o < k) & (o >= k_new), o + 1, o))
-        newo = newo.at[node_k].set(k_new)
-        sorted_new = jnp.zeros(M, jnp.int32).at[newo].set(
-            jnp.arange(M, dtype=jnp.int32))
-        coords_new = coords.at[node_k].set(cnew)
-        cs_new = coords_new[sorted_new]
+        newo = jnp.where(nodes == node_k, k_new, newo)
+        # moving position k to k_new shifts the subrange between them by
+        # one: pure roll+select forms (rolls lower to slices — no
+        # permutation gather ever touches the hot path)
+        up_region = (k_new > k) & (pos >= k) & (pos < k_new)
+        dn_region = (k_new < k) & (pos > k_new) & (pos <= k)
+        sidx_up = jnp.roll(sidx, -1)
+        sidx_dn = jnp.roll(sidx, 1)
+        sorted_new = jnp.where(
+            pos == k_new, node_k,
+            jnp.where(up_region, sidx_up,
+                      jnp.where(dn_region, sidx_dn, sidx))).astype(jnp.int32)
+        cs_up = jnp.roll(cs, -1)
+        cs_dn = jnp.roll(cs, 1)
+        cs_new = jnp.where(
+            pos == k_new, cnew,
+            jnp.where(up_region, cs_up, jnp.where(dn_region, cs_dn, cs)))
+        coords_new = jnp.where(nodes == node_k, cnew, coords)
 
         lo = jnp.maximum(jnp.minimum(k, k_new) - 1, 0)
         hi = jnp.minimum(jnp.maximum(k, k_new) + 1, M - 1)
-        kc2_old = _kc2_from_sorted(sidx, N)
-        kc2_new = _kc2_from_sorted(sorted_new, N)
+        if use_ages:
+            kc2_old = _kc2_from_sorted(sidx, N)
+            kc2_new = _kc2_from_sorted(sorted_new, N)
+        else:
+            # contemporary samples: leaves always occupy the first N sorted
+            # positions, so the lineage profile is position-static
+            kc2_old = kc2_new = st.kc2_pos
         if use_pair:
             pr_new = _prior_window_pair(st, b, N, cs_new, sorted_new, lo, hi)
             pr_old = _prior_window_pair(st, b, N, cs, sidx, lo, hi)
         elif use_vp:
-            leaf_old = sidx < N
-            leaf_new = sorted_new < N
+            if use_ages:
+                leaf_old = sidx < N
+                leaf_new = sorted_new < N
+            else:
+                leaf_old = leaf_new = pos < N
             pr_new = _prior_window(st, b, cs_new, lo, hi, kc2_new, leaf_new)
             pr_old = _prior_window(st, b, cs, lo, hi, kc2_old, leaf_old)
         else:
@@ -321,13 +385,13 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
             pr_old = -jnp.where(mask, kc2_old[:-1]
                                 * (cs[1:] - cs[:-1]), 0.0).sum()
         llr = pr_new - pr_old
-        mut = (mr[node_k] - mr[c1] - mr[c2]) * delta
-        mut = mut + jnp.where(ne[node_k] >= 1.0,
-                              ne[node_k] * _log1p(-delta / tb), 0.0)
-        mut = mut + jnp.where(ne[c1] >= 1.0,
-                              ne[c1] * _log1p(delta / tbl), 0.0)
-        mut = mut + jnp.where(ne[c2] >= 1.0,
-                              ne[c2] * _log1p(delta / tbr), 0.0)
+        mut = (mr4[0] - mr4[2] - mr4[3]) * delta
+        mut = mut + jnp.where(ne4[0] >= 1.0,
+                              ne4[0] * _log1p(-delta / tb), 0.0)
+        mut = mut + jnp.where(ne4[2] >= 1.0,
+                              ne4[2] * _log1p(delta / tbl), 0.0)
+        mut = mut + jnp.where(ne4[3] >= 1.0,
+                              ne4[3] * _log1p(delta / tbr), 0.0)
         llr = llr + mut
         llr = jnp.where((tb == 0.0) | (tbl == 0.0) | (tbr == 0.0),
                         jnp.inf, llr)
@@ -339,13 +403,15 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
         coords_i = jnp.where(acc, coords_new, coords)
         order_i = jnp.where(acc, newo, order)
         sorted_i = jnp.where(acc, sorted_new, sidx)
+        cs_i = jnp.where(acc, cs_new, cs)
 
         coords_out = jnp.where(is_root, coords_root, coords_i)
         order_out = jnp.where(is_root, order, order_i)
         sorted_out = jnp.where(is_root, sidx, sorted_i)
-        return coords_out, order_out, sorted_out
+        cs_out = jnp.where(is_root, cs_root, cs_i)
+        return coords_out, order_out, sorted_out, cs_out
 
-    def switch_order(st: ChainStatic, s: ChainState, b, node_k, keys):
+    def switch_order(st: ChainStatic, s: ChainState, b, node_k, u1, u2):
         parent = st.parent[b]
         cl = st.child_left[b]
         cr = st.child_right[b]
@@ -354,56 +420,69 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
         coords = s.coords[b]
         order = s.order[b]
         sidx = s.sorted_idx[b]
+        cs = s.cs[b]
 
-        k = order[node_k]
-        par_o = order[parent[node_k]]
-        ch_o = jnp.maximum(order[cl[node_k]], order[cr[node_k]])
+        fam_k = jnp.stack([node_k, parent[node_k], cl[node_k], cr[node_k]])
+        ork = order[fam_k]
+        k = ork[0]
+        par_o = ork[1]
+        ch_o = jnp.maximum(ork[2], ork[3])
         gap = par_o - ch_o
-        u1 = jax.random.uniform(keys[0])
-        u2 = jax.random.uniform(keys[1])
         span = jnp.maximum(gap - 1, 1)
         new_order = ch_o + 1 + jnp.minimum(
             (u1 * span).astype(jnp.int32), span - 1)
         node_swap = sidx[new_order]
         valid = (gap > 2) & (node_swap >= N)
-        # swap-node validity
-        sw_par_o = order[parent[node_swap]]
-        sw_ch_o = jnp.maximum(order[cl[node_swap]], order[cr[node_swap]])
-        valid &= (sw_ch_o < k) & (k < sw_par_o)
+        fam_s = jnp.stack([node_swap, parent[node_swap], cl[node_swap],
+                           cr[node_swap]])
+        ors = order[fam_s]
+        valid &= (jnp.maximum(ors[2], ors[3]) < k) & (k < ors[1])
 
-        delta = coords[node_swap] - coords[node_k]
+        # all eight node ages / rates / event counts in one packed gather
+        idx8 = jnp.concatenate([fam_k, fam_s])
+        co8 = coords[idx8]
+        ne8 = ne[idx8]
+        mr8 = mr[idx8]
+        delta = co8[4] - co8[0]
 
-        def mut_terms(nk, dlt):
-            c1 = cl[nk]
-            c2 = cr[nk]
-            tb = coords[parent[nk]] - coords[nk]
-            tbl = coords[nk] - coords[c1]
-            tbr = coords[nk] - coords[c2]
-            m = (mr[nk] - mr[c1] - mr[c2]) * dlt
-            m = m + jnp.where(ne[nk] >= 0.0, ne[nk] * _log1p(-dlt / tb), 0.0)
-            m = m + jnp.where(ne[c2] >= 0.0, ne[c2] * _log1p(dlt / tbr), 0.0)
-            m = m + jnp.where(ne[c1] >= 0.0, ne[c1] * _log1p(dlt / tbl), 0.0)
+        def mut_terms(o, dlt):
+            tb = co8[o + 1] - co8[o]
+            tbl = co8[o] - co8[o + 2]
+            tbr = co8[o] - co8[o + 3]
+            m = (mr8[o] - mr8[o + 2] - mr8[o + 3]) * dlt
+            m = m + jnp.where(ne8[o] >= 0.0,
+                              ne8[o] * _log1p(-dlt / tb), 0.0)
+            m = m + jnp.where(ne8[o + 3] >= 0.0,
+                              ne8[o + 3] * _log1p(dlt / tbr), 0.0)
+            m = m + jnp.where(ne8[o + 2] >= 0.0,
+                              ne8[o + 2] * _log1p(dlt / tbl), 0.0)
             bad_inf = (tb == 0.0) | (tbl == 0.0) | (tbr == 0.0)
             bad_rej = (tb <= dlt) | (tbl <= -dlt) | (tbr <= -dlt)
             return m, bad_inf, bad_rej
 
-        m1, inf1, rej1 = mut_terms(node_k, delta)
-        m2, inf2, rej2 = mut_terms(node_swap, -delta)
+        m1, inf1, rej1 = mut_terms(0, delta)
+        m2, inf2, rej2 = mut_terms(4, -delta)
         llr = m1 + m2
         llr = jnp.where(inf1 | inf2, jnp.inf, llr)
         llr = jnp.where(rej1 | rej2, -jnp.inf, llr)
         acc = valid & (jnp.log(u2) < llr) & (new_order != k)
 
-        ck = coords[node_k]
-        csw = coords[node_swap]
-        coords2 = coords.at[node_k].set(jnp.where(acc, csw, ck))
-        coords2 = coords2.at[node_swap].set(jnp.where(acc, ck, csw))
-        order2 = order.at[node_k].set(jnp.where(acc, new_order, k))
-        order2 = order2.at[node_swap].set(jnp.where(acc, k, order[node_swap]))
-        sidx2 = sidx.at[k].set(jnp.where(acc, node_swap, sidx[k]))
-        sidx2 = sidx2.at[new_order].set(
-            jnp.where(acc, node_k, sidx[new_order]))
-        return coords2, order2, sidx2
+        ck = co8[0]
+        csw = co8[4]
+        nodes = jnp.arange(M)
+        is_k = nodes == node_k
+        is_sw = nodes == node_swap
+        coords2 = jnp.where(acc & is_k, csw,
+                            jnp.where(acc & is_sw, ck, coords))
+        order2 = jnp.where(acc & is_k, new_order,
+                           jnp.where(acc & is_sw, k, order))
+        at_k = nodes == k
+        at_new = nodes == new_order
+        sidx2 = jnp.where(acc & at_k, node_swap,
+                          jnp.where(acc & at_new, node_k, sidx))
+        # the two events exchange ages, so the sorted age multiset — and
+        # hence cs — is invariant under SwitchOrder
+        return coords2, order2, sidx2.astype(jnp.int32), cs
 
     def step(st: ChainStatic, s: ChainState, key, accumulate: bool,
              active=None):
@@ -412,39 +491,49 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
         device-side equivalent of the reference converging each tree
         independently, branch_length_estimator.cpp:2983-3073)."""
         B = s.coords.shape[0]
+        k_coin, k_node, k_u1, k_u2 = jax.random.split(key, 4)
+        un = jax.random.uniform(k_node, (B,))
+        u1s = jax.random.uniform(k_u1, (B,))
+        u2s = jax.random.uniform(k_u2, (B,))
+        bs = jnp.arange(B)
 
-        def per_tree(b, kb):
-            ks = jax.random.split(kb, 4)
-            u = jax.random.uniform(ks[0])
-            node_ue = N + jnp.minimum(
-                (jax.random.uniform(ks[1]) * (M - N)).astype(jnp.int32),
-                M - N - 1)
-            node_so = N + jnp.minimum(
-                (jax.random.uniform(ks[1]) * (M - N - 1)).astype(jnp.int32),
-                M - N - 2)
+        def ue_all(_):
+            node = N + jnp.minimum((un * (M - N)).astype(jnp.int32),
+                                   M - N - 1)
+            c, o, si, csn = jax.vmap(update_one_event,
+                                     in_axes=(None, None, 0, 0, 0, 0))(
+                st, s, bs, node, u1s, u2s)
+            dprop = (jnp.arange(M)[None, :]
+                     == node[:, None]).astype(jnp.int32)
+            return c, o, si, csn, dprop
+
+        def so_all(_):
+            node = N + jnp.minimum((un * (M - N - 1)).astype(jnp.int32),
+                                   M - N - 2)
+            c, o, si, csn = jax.vmap(switch_order,
+                                     in_axes=(None, None, 0, 0, 0, 0))(
+                st, s, bs, node, u1s, u2s)
+            return c, o, si, csn, jnp.zeros((B, M), jnp.int32)
+
+        if use_pair:
             # the reference's pairwise-rate chain proposes UpdateOneEventVP
             # only (p2 = 1.0, branch_length_estimator.cpp:4075) — SwitchOrder
             # would not cancel in the prior when rates depend on which pair
             # coalesces
-            do_ue = u <= (1.0 if use_pair else P2)
-
-            c_ue, o_ue, si_ue = update_one_event(st, s, b, node_ue, ks[2:])
-            c_so, o_so, si_so = switch_order(st, s, b, node_so, ks[2:])
-            coords = jnp.where(do_ue, c_ue, c_so)
-            order = jnp.where(do_ue, o_ue, o_so)
-            sidx = jnp.where(do_ue, si_ue, si_so)
-            dprop = jnp.where(do_ue,
-                              jax.nn.one_hot(node_ue, M, dtype=jnp.int32),
-                              jnp.zeros(M, jnp.int32))
-            return coords, order, sidx, dprop
-
-        keys = jax.random.split(key, B)
-        coords, order, sidx, dprop = jax.vmap(per_tree)(jnp.arange(B), keys)
+            coords, order, sidx, cs, dprop = ue_all(None)
+        else:
+            # one global coin per step: only the chosen proposal type is
+            # computed (the 70/30 mixture need not be independent across
+            # the independent chains)
+            do_ue = jax.random.uniform(k_coin) <= P2
+            coords, order, sidx, cs, dprop = jax.lax.cond(do_ue, ue_all,
+                                                          so_all, None)
         if active is not None:
             m = active[:, None]
             coords = jnp.where(m, coords, s.coords)
             order = jnp.where(m, order, s.order)
             sidx = jnp.where(m, sidx, s.sorted_idx)
+            cs = jnp.where(m, cs, s.cs)
             dprop = jnp.where(m, dprop, 0)
         if accumulate:
             ssum, scomp = _kahan_add(s.ssum, s.scomp, coords)
@@ -457,7 +546,8 @@ def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False):
             cprop = s.cprop + dprop
         else:
             ssum, scomp, count, cprop = s.ssum, s.scomp, s.count, s.cprop
-        return ChainState(coords, order, sidx, ssum, scomp, count, cprop)
+        return ChainState(coords, order, sidx, cs, ssum, scomp, count,
+                          cprop)
 
     return step
 
@@ -466,8 +556,8 @@ class _Block:
     """Compiled fixed-length proposal blocks + device-side convergence
     check (one scalar per tree crosses the host link per round)."""
 
-    def __init__(self, N, M, use_vp, use_pair=False):
-        self._step = make_step_fn(N, M, use_vp, use_pair)
+    def __init__(self, N, M, use_vp, use_pair=False, use_ages=False):
+        self._step = make_step_fn(N, M, use_vp, use_pair, use_ages)
 
         def run(st, s, key, nsteps, accumulate):
             def body(s, i):
@@ -797,20 +887,14 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         order0[b] = o
         sidx0[b] = si
 
-    state = ChainState(
-        coords=jnp.asarray(coords0), order=jnp.asarray(order0),
-        sorted_idx=jnp.asarray(sidx0),
-        ssum=jnp.zeros((B, M), jnp.float32),
-        scomp=jnp.zeros((B, M), jnp.float32),
-        count=jnp.zeros((B,), jnp.float32),
-        cprop=jnp.zeros((B, M), jnp.int32))
+    state = init_chain_state(coords0, order0, sidx0)
 
     if mesh is not None:
         from ..parallel.mesh import shard_batch
         st = shard_batch(mesh, st, B, mesh_axis)
         state = shard_batch(mesh, state, B, mesh_axis)
 
-    block = _Block(N, M, use_vp, use_pair)
+    block = _Block(N, M, use_vp, use_pair, use_ages=ages_n is not None)
     key = jax.random.PRNGKey(seed)
 
     # Transient + PER-TREE convergence loop, all in one device program:

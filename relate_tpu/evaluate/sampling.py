@@ -121,14 +121,7 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
         coords0[b] = mcmc._initial_coords(si, N)
         order0[b] = o
         sidx0[b] = si
-    import jax.numpy as jnp
-    state = mcmc.ChainState(
-        coords=jnp.asarray(coords0), order=jnp.asarray(order0),
-        sorted_idx=jnp.asarray(sidx0),
-        ssum=jnp.zeros((B, M), jnp.float32),
-        scomp=jnp.zeros((B, M), jnp.float32),
-        count=jnp.zeros((B,), jnp.float32),
-        cprop=jnp.zeros((B, M), jnp.int32))
+    state = mcmc.init_chain_state(coords0, order0, sidx0)
 
     block = mcmc._Block(N, M, True)
     key = jax.random.PRNGKey(seed)

@@ -213,13 +213,7 @@ def dryrun(n_devices: int):
         coords0[b] = mcmc._initial_coords(si, N)
         order0[b] = o
         sidx0[b] = si
-    s = mcmc.ChainState(
-        coords=jnp.asarray(coords0), order=jnp.asarray(order0),
-        sorted_idx=jnp.asarray(sidx0),
-        ssum=jnp.zeros((B, M), jnp.float32),
-        scomp=jnp.zeros((B, M), jnp.float32),
-        count=jnp.zeros((B,), jnp.float32),
-        cprop=jnp.zeros((B, M), jnp.int32))
+    s = mcmc.init_chain_state(coords0, order0, sidx0)
 
     epochs = jnp.asarray([0.0, 0.5, 1.0, 2.0], jnp.float32)
     alphas, s2, counts = multichip_step(mesh, model, paint_args, st, s,

@@ -1,7 +1,11 @@
 """Benchmark: painting + tree-build throughput and pipeline e2e wall clock.
 
-Prints ONE JSON line with the primary metric (combined painting+tree-build
-SNPs/s per chip — BASELINE.json's metric) plus per-stage detail fields.
+Prints JSON result lines with the primary metric (combined painting+
+tree-build SNPs/s per chip — BASELINE.json's metric) plus per-stage
+detail fields. A line is (re-)emitted after EVERY completed stage, each a
+complete superset of the previous one, so an external timeout can never
+erase finished work — the last JSON line on stdout is always the most
+complete result.
 
 Workload: N=256 haplotypes x L=30,000 SNPs (coalescent-simulated panel,
 seed 7) — the full all-vs-all painting posterior (stepping stones + window
@@ -15,14 +19,16 @@ flags, single core, measured on this machine — see tests/golden/README.md):
 - Paint+BT:      57.2 s   =>   524 SNPs/s   (combined primary baseline)
 - --mode All:   270.7 s e2e on the same panel
 
-Timeout safety: the stages run in a daemon worker thread that updates the
-RESULT dict as each stage completes; the MAIN thread only waits on a
-wall-clock budget (default 420 s, RELATE_TPU_BENCH_BUDGET_S to override)
-and then prints whatever RESULT holds. A worker stuck inside a C call
-(e.g. a ~250 s cold-start of the axon TPU tunnel, observed in round 2)
-therefore cannot block emission the way a signal handler could. Stages
-run in order of importance (paint -> treebuild -> e2e); the e2e stage is
-skipped when the remaining budget is too small or RELATE_TPU_BENCH_E2E=0.
+Timeout safety (round-2 postmortem: the driver's external timeout killed
+the bench during a stuck axon-tunnel backend init, BEFORE the internal
+420 s watchdog — zero output was recorded):
+- stages run in a daemon worker thread; the MAIN thread waits on a
+  wall-clock budget (default 240 s, RELATE_TPU_BENCH_BUDGET_S to
+  override) and then emits whatever has been recorded so far;
+- if jax backend init itself has not completed within 100 s the process
+  re-execs itself with JAX_PLATFORMS=cpu and reports a real (if slower)
+  CPU-backend measurement instead of nothing;
+- each completed stage immediately prints a full JSON line.
 """
 import json
 import os
@@ -49,6 +55,7 @@ RESULT = {
     "vs_baseline": 0.0,
 }
 _t_start = time.time()
+_emit_lock = threading.Lock()
 
 
 def _note(msg):
@@ -56,19 +63,22 @@ def _note(msg):
           file=sys.stderr, flush=True)
 
 
-def _emit_and_exit():
-    RESULT["bench_wall_s"] = round(time.time() - _t_start, 1)
-    print(json.dumps(RESULT), flush=True)
-    os._exit(0)
+def _emit():
+    with _emit_lock:
+        RESULT["bench_wall_s"] = round(time.time() - _t_start, 1)
+        print(json.dumps(RESULT), flush=True)
 
 
-def _stages(budget):
+def _stages(budget, init_done):
     import jax
 
     from relate_tpu.core import painting, topology_device
     from relate_tpu.utils import synth
 
-    _note("jax devices: %s" % (jax.devices(),))
+    devs = jax.devices()
+    init_done.set()
+    _note("jax devices: %s" % (devs,))
+    RESULT["backend"] = devs[0].platform
 
     G, bp = synth.synth_panel(N, L)
     r = np.full(L, 2500 * 0.5e-8 * 500)
@@ -101,6 +111,7 @@ def _stages(budget):
     RESULT["vs_baseline"] = round(paint_snps / BASELINE_PAINT_SNPS_PER_S, 3)
     RESULT["painting_snps_per_s"] = round(paint_snps, 1)
     RESULT["painting_vs_baseline"] = RESULT["vs_baseline"]
+    _emit()
 
     # ---- tree build: full-window BuildTopology ----------------------------
     # warm-up run at the SAME padded size bucket as the timed run (a smaller
@@ -132,13 +143,14 @@ def _stages(budget):
     RESULT["treebuild_vs_baseline"] = round(
         bt_snps / BASELINE_BT_SNPS_PER_S, 3)
     RESULT["num_trees"] = num_trees
+    _emit()
 
     # ---- e2e: run_all on the same panel vs C++ --mode All -----------------
     # only attempted when enough budget remains (the watchdog would still
-    # rescue a slow run, but a clean skip keeps the record unambiguous)
+    # rescue a slow run, and the combined line above is already on stdout)
     remaining = budget - (time.time() - _t_start)
     if (os.environ.get("RELATE_TPU_BENCH_E2E", "1") != "0"
-            and remaining > 150.0):
+            and remaining > 100.0):
         from relate_tpu.pipeline import relate
         from relate_tpu.utils.synth import write_flat_map, write_haps_sample
         d = tempfile.mkdtemp(prefix="relate_bench_")
@@ -154,17 +166,21 @@ def _stages(budget):
             RESULT["e2e_s"] = round(e2e_s, 1)
             RESULT["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_s, 3)
             _note("e2e: %.1f s" % e2e_s)
+            _emit()
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
 
 def main():
-    budget = float(os.environ.get("RELATE_TPU_BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("RELATE_TPU_BENCH_BUDGET_S", "240"))
+    init_timeout = min(100.0, 0.5 * budget)
+    on_cpu_fallback = os.environ.get("RELATE_TPU_BENCH_CPU_FALLBACK") == "1"
     done = threading.Event()
+    init_done = threading.Event()
 
     def run():
         try:
-            _stages(budget)
+            _stages(budget, init_done)
         except BaseException as e:           # noqa: BLE001 — record, emit
             RESULT["error"] = "%s: %s" % (type(e).__name__, e)
             _note("worker error: %s" % RESULT["error"])
@@ -173,9 +189,25 @@ def main():
 
     worker = threading.Thread(target=run, daemon=True)
     worker.start()
-    if not done.wait(budget):
+
+    if not init_done.wait(init_timeout) and not on_cpu_fallback:
+        # backend init is stuck (axon tunnel cold-start, round-2 failure
+        # mode): replace this process with a CPU-backend run so the driver
+        # records a real measurement instead of nothing
+        _note("backend init stuck after %.0fs; re-exec on CPU backend"
+              % init_timeout)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["RELATE_TPU_BENCH_CPU_FALLBACK"] = "1"
+        env["RELATE_TPU_BENCH_BUDGET_S"] = str(
+            max(60.0, budget - (time.time() - _t_start)))
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+                  env)
+
+    if not done.wait(max(1.0, budget - (time.time() - _t_start))):
         _note("budget reached; emitting partial result")
-    _emit_and_exit()
+    _emit()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -8,69 +8,53 @@ Behavioral reference: ``AncesTreeBuilder::BranchAssociation``
 ``branch_association.py`` (its ``_match_from_corr`` is the differential
 oracle; see tests/test_ancbuilder.py).
 
-TPU mapping: leaf-set indicators are built on device from the parent
-arrays (a readiness-propagation ``while_loop``), all pairwise leaf-set
+TPU mapping: leaf-set indicators are built on device by log-squaring the
+child adjacency matrix on the MXU (``_leafmats``), all pairwise leaf-set
 intersections are one batched (M, N) @ (N, M) float32 MXU matmul per pair
 (0/1 counts < 2^24 are exact), and the three matching stages are
-vectorized masks + scatter-max. The only sequential piece — the reference's
-best-score-first greedy assignment of approximate matches — is a
-``lax.scan`` over the (tiny, top-K-bounded) sorted candidate list. Pairs
-whose candidate lists overflow the static bounds fall back to the host
-matcher (rare: adjacent trees share most clades).
+vectorized masks + scatter-max. The reference's best-score-first greedy
+assignment of approximate matches is computed exactly by iterated
+locally-dominant locking (mutual row/column best under the greedy total
+order) — a short data-dependent ``while_loop`` of masked (M, M)
+reductions, unbounded and with no host fallback (see ``_match_pair``).
 
 Per pair, only the (M,) equivalence vector crosses the device link —
 ~2 KB instead of the (M, M) correlation matrix.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
-from .branch_association import (THRESHOLD_BRANCHEQ, EXACT,
-                                 _count_compat_table, _match_from_corr,
-                                 _pearson_from_products)
+from .branch_association import THRESHOLD_BRANCHEQ, EXACT
 from .trees import Tree
 
-# per-row / global candidate bounds for the stage-3 greedy (overflowing
-# pairs fall back to the host matcher)
-TOPK_PER_ROW = 8
-MAX_CANDIDATES = 512
 
 
 def _leafmats(parent, cl, cr, N):
     """(B, M) parent/children arrays -> (B, M, N) f32 leaf indicators.
 
-    Bottom-up readiness propagation (children before parents), iterated to
-    a fixed point under ``lax.while_loop`` — correct for any labeling, not
-    just merge order."""
+    Descendant closure by log-squaring on the MXU: P0 = I + child
+    adjacency, then ceil(log2(M)) rounds of ``P = min(P @ P, 1)`` cover
+    every path length. Only zero-vs-nonzero matters, so the matmuls run
+    in bfloat16 (a sum of positive bf16 terms is never rounded to zero
+    and an exact zero stays zero); the per-level gather loop this
+    replaces cost ~40x more HBM traffic than these 9 batched matmuls."""
     import jax
     import jax.numpy as jnp
 
     B, M = parent.shape
-    out0 = jnp.zeros((B, M, N), jnp.float32).at[:, :N, :].set(
-        jnp.eye(N, dtype=jnp.float32))
-    ready0 = jnp.concatenate([jnp.ones((B, N), bool),
-                              jnp.zeros((B, M - N), bool)], axis=1)
-
-    def cond(c):
-        _, ready = c
-        return ~ready.all()
-
-    def body(c):
-        out, ready = c
-        clr = jnp.take_along_axis(ready, jnp.maximum(cl, 0), axis=1)
-        crr = jnp.take_along_axis(ready, jnp.maximum(cr, 0), axis=1)
-        can = clr & crr & (cl >= 0) & ~ready
-        lrow = jnp.take_along_axis(out, jnp.maximum(cl, 0)[:, :, None],
-                                   axis=1)
-        rrow = jnp.take_along_axis(out, jnp.maximum(cr, 0)[:, :, None],
-                                   axis=1)
-        out = jnp.where(can[:, :, None], lrow + rrow, out)
-        return out, ready | can
-
-    out, _ = jax.lax.while_loop(cond, body, (out0, ready0))
-    return out
+    j = jnp.arange(M)
+    P = ((j[None, None, :] == j[None, :, None])
+         | (j[None, None, :] == cl[:, :, None])
+         | (j[None, None, :] == cr[:, :, None])).astype(jnp.bfloat16)
+    for _ in range(int(np.ceil(np.log2(max(M, 2))))):
+        P = jnp.minimum(
+            jnp.einsum("bij,bjk->bik", P, P,
+                       preferred_element_type=jnp.float32),
+            1.0).astype(jnp.bfloat16)
+    return P[:, :, :N].astype(jnp.float32)
 
 
 def _pearson_device(prod, n1, n2, N):
@@ -93,11 +77,10 @@ def _pearson_device(prod, n1, n2, N):
     return r
 
 
-def _match_pair(corr, tp, t_cl, t_cr, rp, r_cl, r_cr, nl_t, nl_r, compat,
-                N, M):
+def _match_pair(corr, tp, t_cl, t_cr, rp, r_cl, r_cr, nl_t, nl_r, N, M):
     """Device twin of branch_association._match_from_corr for ONE pair.
 
-    Returns (eq (M,) int32, overflow bool)."""
+    Returns eq (M,) int32."""
     import jax
     import jax.numpy as jnp
 
@@ -148,38 +131,62 @@ def _match_pair(corr, tp, t_cl, t_cr, rp, r_cl, r_cr, nl_t, nl_r, compat,
     eq_ref = eq_ref.at[targets].max(vals)[:M]
 
     # --- stage 3: approximate matches, best score first ------------------
+    # The host matcher walks candidates in the total order
+    # lexsort((j, nl_r[j], i, -score)) and greedily assigns pairs whose
+    # endpoints are still free. Greedy matching under a TOTAL order equals
+    # iterated locally-dominant locking: lock every (i, j) that is the
+    # order-minimal live candidate of BOTH its row and its column, remove
+    # locked rows/columns, repeat. (The order-minimal global candidate is
+    # always mutual-best, so each round reproduces a prefix of the greedy
+    # walk; induction gives exact equality.) Each round is a handful of
+    # masked (M, M) reductions — no bounded candidate lists, no 512-step
+    # scan, no host fallback.
     unpaired = is_int & (eq == -1)
+    # leaf-count compatibility, computed arithmetically (the host's
+    # _count_compat_table formula — a (B, M, M) table gather would cost
+    # more than these elementwise ops)
+    a = nl_t[:, None].astype(jnp.float32)
+    b = nl_r[None, :].astype(jnp.float32)
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    lim = (hi / (N - hi + 1e-30)) * ((N - lo)
+                                     / jnp.where(lo == 0, 1.0, lo))
+    compat_ab = ~((a != b) & (1.0 / (THR * THR) < lim))
     cand3 = ((corr >= THR) & (pc >= THR) & (eq_ref[None, :] == -1)
-             & compat[nl_t[:, None], nl_r[None, :]] & unpaired[:, None])
-    score = jnp.where(cand3, corr, -jnp.inf)
-    # per-row top-K then global multi-key sort replicating the host
-    # lexsort((j, nl_r[j], i, -score))
-    row_over = cand3.sum(axis=1) > TOPK_PER_ROW
-    vals_k, idx_k = jax.lax.top_k(score, TOPK_PER_ROW)    # (M, K)
-    flat_s = vals_k.reshape(-1)
-    flat_i = jnp.repeat(ar, TOPK_PER_ROW).astype(jnp.int32)
-    flat_j = idx_k.reshape(-1).astype(jnp.int32)
-    valid = jnp.isfinite(flat_s)
-    total_over = valid.sum() > MAX_CANDIDATES
-    overflow = row_over.any() | total_over
-    neg_s = jnp.where(valid, -flat_s, jnp.inf)
-    _, _, _, _, s_i, s_j, s_v = jax.lax.sort(
-        (neg_s, flat_i, nl_r[flat_j], flat_j, flat_i, flat_j,
-         valid.astype(jnp.int32)), num_keys=4)
-    s_i = s_i[:MAX_CANDIDATES]
-    s_j = s_j[:MAX_CANDIDATES]
-    s_v = s_v[:MAX_CANDIDATES]
+             & compat_ab & unpaired[:, None])
+    BIGI = jnp.int32(2 * M * (M + 1))
+    # row tie-break key among equal scores: (nl_r[j], j); column: i
+    row_tie = (nl_r * (M + 1) + ar)[None, :]
 
-    def greedy(carry, x):
-        eq, eq_ref = carry
-        i, j, v = x
-        free = (v > 0) & (eq[i] == -1) & (eq_ref[j] == -1)
-        eq = eq.at[i].set(jnp.where(free, j, eq[i]))
-        eq_ref = eq_ref.at[j].set(jnp.where(free, i, eq_ref[j]))
-        return (eq, eq_ref), None
+    def cond(c):
+        _, _, changed = c
+        return changed
 
-    (eq, eq_ref), _ = jax.lax.scan(greedy, (eq, eq_ref), (s_i, s_j, s_v))
-    return eq, overflow
+    def body(c):
+        eq, eq_ref, _ = c
+        live = cand3 & (eq[:, None] == -1) & (eq_ref[None, :] == -1)
+        s = jnp.where(live, corr, -jnp.inf)
+        rmax = s.max(axis=1, keepdims=True)
+        rt = live & (s == rmax)
+        rbest = jnp.argmin(jnp.where(rt, row_tie, BIGI),
+                           axis=1).astype(jnp.int32)
+        has_r = rt.any(axis=1)
+        cmax = s.max(axis=0, keepdims=True)
+        ct = live & (s == cmax)
+        cbest = jnp.argmin(jnp.where(ct, ar[:, None], BIGI),
+                           axis=0).astype(jnp.int32)
+        has_c = ct.any(axis=0)
+        lock = has_r & (cbest[rbest] == ar) & has_c[rbest]
+        eq2 = jnp.where(lock, rbest, eq)
+        tgt = jnp.where(lock, rbest, M)
+        src = jnp.where(lock, ar, -1).astype(jnp.int32)
+        eq_ref2 = jnp.concatenate([eq_ref, jnp.full(1, -1, jnp.int32)])
+        eq_ref2 = eq_ref2.at[tgt].max(src)[:M]
+        return eq2, eq_ref2, lock.any()
+
+    eq, eq_ref, _ = jax.lax.while_loop(
+        cond, body, (eq, eq_ref, jnp.bool_(True)))
+    return eq
 
 
 _KERNEL_CACHE = {}
@@ -193,11 +200,8 @@ def _pair_kernel(N: int, M: int):
     import jax
     import jax.numpy as jnp
 
-    compat_np = _count_compat_table(N)
-
     def kernel(parent, cl, cr):
         # parent/cl/cr: (T, M) for T = B+1 consecutive trees -> B pairs
-        compat = jnp.asarray(compat_np)
         L = _leafmats(parent, cl, cr, N)              # (T, M, N) f32
         nl = L.sum(axis=2)                            # (T, M)
         prod = jnp.einsum("bmn,bkn->bmk", L[1:], L[:-1],
@@ -209,12 +213,11 @@ def _pair_kernel(N: int, M: int):
         def one(corr_k, tpk, tclk, tcrk, rpk, rclk, rcrk, nlt, nlr):
             return _match_pair(corr_k, tpk, tclk, tcrk, rpk, rclk, rcrk,
                                nlt.astype(jnp.int32),
-                               nlr.astype(jnp.int32), compat, N, M)
+                               nlr.astype(jnp.int32), N, M)
 
-        eq, over = jax.vmap(one)(corr, parent[1:], cl[1:], cr[1:],
-                                 parent[:-1], cl[:-1], cr[:-1],
-                                 nl[1:], nl[:-1])
-        return eq, over
+        return jax.vmap(one)(corr, parent[1:], cl[1:], cr[1:],
+                             parent[:-1], cl[:-1], cr[:-1],
+                             nl[1:], nl[:-1])
 
     k = jax.jit(kernel)
     _KERNEL_CACHE[key] = k
@@ -237,30 +240,13 @@ def branch_association_many_device(trees: List[Tree],
     cl = np.stack([t.child_left for t in trees]).astype(np.int32)
     cr = np.stack([t.child_right for t in trees]).astype(np.int32)
 
-    eqs: List[Optional[np.ndarray]] = []
+    eqs: List[np.ndarray] = []
     # pad the last chunk to the chunk size so at most two shapes compile
     for s in range(0, T - 1, pair_chunk):
         e = min(s + pair_chunk, T - 1)
         n = e - s
         idx = np.arange(s, s + pair_chunk + 1)
         idx = np.minimum(idx, T - 1)
-        eq, over = kernel(parent[idx], cl[idx], cr[idx])
-        eq = np.asarray(eq)[:n]
-        over = np.asarray(over)[:n]
-        for k in range(n):
-            if over[k]:
-                eqs.append(None)    # host fallback below
-            else:
-                eqs.append(eq[k])
-
-    for p, v in enumerate(eqs):
-        if v is None:
-            Lr = trees[p].leaf_matrix().astype(np.float32)
-            Lt = trees[p + 1].leaf_matrix().astype(np.float32)
-            prod = Lt @ Lr.T
-            corr = _pearson_from_products(prod, Lt.sum(axis=1),
-                                          Lr.sum(axis=1), N)
-            eqs[p] = _match_from_corr(trees[p], trees[p + 1], corr,
-                                      nl_r=Lr.sum(axis=1),
-                                      nl_t=Lt.sum(axis=1))
+        eq = np.asarray(kernel(parent[idx], cl[idx], cr[idx]))[:n]
+        eqs.extend(eq[k] for k in range(n))
     return eqs

@@ -25,6 +25,21 @@ vectorize; O(M) elementwise is faster than divergent control flow on TPU).
 Coordinate running means use Kahan compensation (float32-safe for long
 chains).
 
+Because a single proposal already costs O(M) dense work per chain, each
+scan iteration ALSO runs a **parallel gap sweep** (``make_sweep_fn``): an
+age-only Metropolis update proposed simultaneously for every internal node
+whose sorted position has a given parity AND whose parent sits at the
+opposite parity. That selected set is an independent set in both the tree
+(no parent/child pair) and the sorted order (no adjacent positions), and
+the proposals keep the event order fixed (each new age is drawn inside the
+node's current sorted gap; the root uses the reference's exponential tail
+proposal, rejected if it would cross the second-oldest event), so the
+posterior factorizes over the selected nodes: the simultaneous local MH
+decisions are exact. One sweep delivers ~0.3*(M-N) proposals for ~2x the
+cost of a single proposal — the order statistics still mix through the
+interleaved UpdateOneEvent/SwitchOrder steps, matching the reference's
+kernel support, while age mixing runs ~40x faster per FLOP.
+
 Deliberate deviations from the reference (documented, distribution-level):
 - the uniform-int and uniform draws come from JAX threefry streams, not
   mt19937, so chains are not draw-for-draw identical;
@@ -87,6 +102,9 @@ class ChainStatic(NamedTuple):
     F: Optional[jnp.ndarray] = None        # (B, M, G) f32 group fractions
     Rg: Optional[jnp.ndarray] = None       # (E, G, G) f32 rates per epoch
     cumIRg: Optional[jnp.ndarray] = None   # (E, G, G) f32 integral to epoch
+    depth: Optional[jnp.ndarray] = None    # (B, M) i32 depth below root
+    #   (static topology metadata for the gap sweep's independent-set
+    #   selection; see make_sweep_fn / tree_depths)
 
 
 class ChainState(NamedTuple):
@@ -220,6 +238,207 @@ def _prior_window_pair(st: ChainStatic, b, N, cs, sidx, lo, hi):
     logr = jnp.where(mask & (ev >= N),
                      jnp.log(jnp.maximum(rate_ev, 1e-30)), 0.0).sum()
     return out + logr
+
+
+def _rate_integral_bm(st: ChainStatic, t):
+    """(B, M)-batched piecewise rate integral R(t) and rate r(t)."""
+    e = jnp.clip(jnp.searchsorted(st.epochs, t, side="right") - 1,
+                 0, st.rates.shape[1] - 1)
+    cum = jnp.take_along_axis(st.cumR, e, axis=1)
+    rt = jnp.take_along_axis(st.rates, e, axis=1)
+    return cum + rt * (t - st.epochs[e]), rt
+
+
+def tree_depths(parent: np.ndarray) -> np.ndarray:
+    """(B, M) node depths below the root from (B, M) parent arrays."""
+    parent = np.asarray(parent)
+    B, M = parent.shape
+    d = np.zeros((B, M), dtype=np.int32)
+    safe = np.maximum(parent, 0)
+    for _ in range(M):
+        nd = np.where(parent >= 0,
+                      np.take_along_axis(d, safe, axis=1) + 1, 0)
+        if np.array_equal(nd, d):
+            break
+        d = nd
+    return d
+
+
+def sweep_aux(st: ChainStatic):
+    """Loop-invariant sweep inputs, computed once per compiled program:
+    child-indexed event counts / mutation rates, and the static scatter
+    keys of the family sort (see make_sweep_fn).
+
+    The family sort's key set is a (B, 3M+1) integer array that is a
+    permutation of [0, 3M-2N] plus dummies per row: keys [0, M) deliver
+    each node's PARENT age (parent i scatters its age to children cl[i],
+    cr[i]; the root receives a dummy), keys [M, M+2(M-N)) deliver each
+    internal node's two CHILD ages (child c scatters to slot
+    M + 2*(parent[c]-N) + is_right_child)."""
+    cl = jnp.maximum(st.child_left, 0)
+    cr = jnp.maximum(st.child_right, 0)
+    ne_cl = jnp.take_along_axis(st.num_events, cl, axis=1)
+    ne_cr = jnp.take_along_axis(st.num_events, cr, axis=1)
+    mr_cl = jnp.take_along_axis(st.mut_rate, cl, axis=1)
+    mr_cr = jnp.take_along_axis(st.mut_rate, cr, axis=1)
+
+    M = st.parent.shape[1]
+    N = (M + 1) // 2
+    BIG = jnp.int32(4 * M)
+    keys_pageL = jnp.where(st.child_left >= 0, st.child_left, BIG)
+    keys_pageR = jnp.where(st.child_right >= 0, st.child_right, BIG)
+    par_c = jnp.maximum(st.parent, 0)
+    node_ids = jnp.arange(M, dtype=jnp.int32)[None, :]
+    is_left = jnp.take_along_axis(st.child_left, par_c, axis=1) == node_ids
+    side = jnp.where(is_left, 0, 1)
+    keys_cage = jnp.where(st.parent >= 0,
+                          M + 2 * (par_c - N) + side, BIG)
+    root_id = jnp.argmin(st.parent, axis=1, keepdims=True).astype(jnp.int32)
+    fc_keys = jnp.concatenate(
+        [keys_pageL, keys_pageR, keys_cage, root_id], axis=1)
+    return (ne_cl, ne_cr, mr_cl, mr_cr, fc_keys, root_id)
+
+
+def make_sweep_fn(N: int, M: int, use_vp: bool, use_ages: bool = False):
+    """Parallel gap sweep: age-only MH proposals for ALL internal nodes
+    whose (tree-depth parity, sorted-position parity) matches the phase
+    ``(phase >> 1) & 1, phase & 1`` — each internal node is proposed
+    exactly once every 4 phases.
+
+    The selected nodes form an independent set in the tree (equal depth
+    parity excludes parent/child pairs) AND in the sorted order (equal
+    position parity excludes adjacent positions), and every proposal stays
+    inside the node's current sorted gap (cs[p-1], cs[p+1]) — the event
+    order, and hence the lineage-count profile, is invariant — so the
+    posterior ratio factorizes per node and the simultaneous
+    accept/reject decisions are an exact Metropolis kernel (see module
+    docstring). Prior delta per node: (kc2[p] - kc2[p-1]) * (R(t') - R(t))
+    plus the event-rate term under a piecewise prior; the root keeps the
+    exponential tail proposal with its Hastings ratio
+    (branch_length_estimator.cpp:1841-1900).
+
+    Data movement: TPU take_along_axis gathers cost ~13x an elementwise
+    pass at (B, M) (measured), so all permutation application runs through
+    THREE stable multi-operand ``lax.sort`` calls instead — a family sort
+    (static scatter keys from :func:`sweep_aux`: parent/child ages), a
+    position sort (key = sorted_idx: sorted-neighbor ages + lineage
+    weights into node order), and an output sort (key = order:
+    re-establish the cs invariant)."""
+
+    node_is_internal = (np.arange(M) >= N)[None, :]
+
+    def sweep(st: ChainStatic, s: ChainState, aux, phase, u1, u2,
+              active=None, accumulate=True):
+        ne_cl, ne_cr, mr_cl, mr_cr, fc_keys, root_id = aux
+        coords, order, sidx, cs = s.coords, s.order, s.sorted_idx, s.cs
+        parent = st.parent
+        is_root = parent < 0
+        pos = order
+        dpar = (phase >> 1) & 1
+        ppar = phase & 1
+        sel = (node_is_internal & ((st.depth & 1) == dpar)
+               & ((pos & 1) == ppar))
+
+        # family sort: parent age and the two child ages, node-indexed
+        rootval = jnp.take_along_axis(coords, root_id, axis=1)
+        fc_vals = jnp.concatenate([coords, coords, coords, rootval], axis=1)
+        _, fc_sorted = jax.lax.sort((fc_keys, fc_vals), num_keys=1)
+        page = fc_sorted[:, :M]
+        cage = fc_sorted[:, M: M + 2 * (M - N)].reshape(-1, M - N, 2)
+        zl = jnp.zeros_like(cage[:, :1, 0], shape=cage.shape[:1] + (N,))
+        cage_l = jnp.concatenate([zl, cage[:, :, 0]], axis=1)
+        cage_r = jnp.concatenate([zl, cage[:, :, 1]], axis=1)
+        cmax = jnp.maximum(cage_l, cage_r)
+
+        # position sort: sorted-neighbor ages + lineage weights to nodes
+        cs_m1 = jnp.concatenate([cs[:, :1], cs[:, :-1]], axis=1)
+        cs_p1 = jnp.concatenate([cs[:, 1:], cs[:, -1:]], axis=1)
+        if use_ages:
+            leaf_sorted = (sidx < N).astype(jnp.float32)
+            nlv = (jnp.cumsum(leaf_sorted, axis=1)
+                   - jnp.cumsum(1.0 - leaf_sorted, axis=1))
+            kc2c = nlv * (nlv - 1.0) * 0.5
+        else:
+            kc2c = jnp.broadcast_to(st.kc2_pos[None, :], cs.shape)
+        kc2m = jnp.concatenate([kc2c[:, :1], kc2c[:, :-1]], axis=1)
+        _, cs_lo, cs_hi, kc2_p, kc2_pm1 = jax.lax.sort(
+            (sidx, cs_m1, cs_p1, kc2c, kc2m), num_keys=1)
+
+        t = coords
+        # non-root: symmetric uniform draw inside the sorted gap
+        tnew_nr = cs_lo + u1 * (cs_hi - cs_lo)
+        # root: exponential tail proposal + Hastings ratio
+        tau_old = t - cmax
+        posr = tau_old > 0
+        lu = -jnp.log(jnp.maximum(u1, 1e-30))
+        tau_new = jnp.where(posr, lu * tau_old, lu)
+        safe_old = jnp.maximum(tau_old, 1e-30)
+        safe_new = jnp.maximum(tau_new, 1e-30)
+        hast_r = jnp.where(
+            posr,
+            jnp.log(safe_old / safe_new) + (tau_new / safe_old
+                                            - tau_old / safe_new),
+            jnp.log(1.0 / safe_new) + tau_new)
+        tnew = jnp.where(is_root, cmax + tau_new, tnew_nr)
+        delta = tnew - t
+
+        w = jnp.where(is_root, -kc2_pm1, kc2_p - kc2_pm1)
+        if use_vp:
+            Rt, rt = _rate_integral_bm(st, t)
+            Rt2, rt2 = _rate_integral_bm(st, tnew)
+            pr = (w * (Rt2 - Rt)
+                  + jnp.log(jnp.maximum(rt2, 1e-30))
+                  - jnp.log(jnp.maximum(rt, 1e-30)))
+        else:
+            pr = w * delta
+
+        tb = page - t
+        tbl = t - cage_l
+        tbr = t - cage_r
+        coeff = jnp.where(is_root, -(mr_cl + mr_cr),
+                          st.mut_rate - mr_cl - mr_cr)
+        mut = coeff * delta
+        mut = mut + jnp.where((~is_root) & (st.num_events >= 1.0),
+                              st.num_events * _log1p(-delta / tb), 0.0)
+        mut = mut + jnp.where(ne_cl >= 1.0, ne_cl * _log1p(delta / tbl),
+                              0.0)
+        mut = mut + jnp.where(ne_cr >= 1.0, ne_cr * _log1p(delta / tbr),
+                              0.0)
+
+        llr = pr + mut + jnp.where(is_root, hast_r, 0.0)
+        bad_inf = (tbl == 0.0) | (tbr == 0.0) | (~is_root & (tb == 0.0))
+        bad_rej = ((tbl <= -delta) | (tbr <= -delta)
+                   | (~is_root & (tb <= delta)))
+        # the root move must not cross the second-oldest event (the sweep
+        # is order-preserving by construction)
+        bad_rej = bad_rej | (is_root & (tnew <= cs[:, M - 2][:, None]))
+        llr = jnp.where(bad_inf, jnp.inf, llr)
+        llr = jnp.where(bad_rej, -jnp.inf, llr)
+        acc = sel & (jnp.log(u2) < llr)
+        if active is not None:
+            acc = acc & active[:, None]
+            sel = sel & active[:, None]
+
+        coords2 = jnp.where(acc, tnew, coords)
+        # output sort: re-establish the cs == coords[sorted_idx] invariant
+        _, cs2 = jax.lax.sort((order, coords2), num_keys=1)
+        if accumulate:
+            ssum, scomp = _kahan_add(s.ssum, s.scomp, coords2)
+            if active is not None:
+                ssum = jnp.where(active[:, None], ssum, s.ssum)
+                scomp = jnp.where(active[:, None], scomp, s.scomp)
+                count = s.count + active.astype(jnp.float32)
+            else:
+                count = s.count + 1.0
+            cprop = s.cprop + sel.astype(jnp.int32)
+        else:
+            ssum, scomp, count, cprop = (s.ssum, s.scomp, s.count,
+                                         s.cprop)
+        return ChainState(coords2, order, sidx, cs2, ssum, scomp, count,
+                          cprop)
+
+    return sweep
+
 
 
 def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False,
@@ -558,11 +777,37 @@ class _Block:
 
     def __init__(self, N, M, use_vp, use_pair=False, use_ages=False):
         self._step = make_step_fn(N, M, use_vp, use_pair, use_ages)
+        # the pairwise-group prior couples levels through which pair
+        # coalesces; the gap sweep's per-node factorization still holds
+        # (order fixed -> S/D profiles fixed) but is not implemented for
+        # it — pair chains run single proposals only
+        self._use_sweeps = not use_pair
+        self._sweep = (make_sweep_fn(N, M, use_vp, use_ages)
+                       if self._use_sweeps else None)
+        # nominal proposals per scan iteration, used to convert the
+        # reference's proposal budgets (transient, sampling gaps) into
+        # iteration counts: 1 single proposal + (every internal node is
+        # swept exactly once per 4 phases)
+        self.ppi = 1 + (0.25 * (M - N) if self._use_sweeps else 0.0)
+
+        def iteration(st, aux, s, key, i, accumulate, active=None):
+            s = self._step(st, s, jax.random.fold_in(key, 2 * i),
+                           accumulate, active)
+            if self._use_sweeps:
+                ku1, ku2 = jax.random.split(jax.random.fold_in(key,
+                                                               2 * i + 1))
+                u1 = jax.random.uniform(ku1, s.coords.shape)
+                u2 = jax.random.uniform(ku2, s.coords.shape)
+                s = self._sweep(st, s, aux, i % 4, u1, u2, active,
+                                accumulate)
+            return s
+        self._iteration = iteration
 
         def run(st, s, key, nsteps, accumulate):
+            aux = sweep_aux(st) if self._use_sweeps else None
+
             def body(s, i):
-                return self._step(st, s, jax.random.fold_in(key, i),
-                                  accumulate), None
+                return iteration(st, aux, s, key, i, accumulate), None
             s, _ = jax.lax.scan(body, s, jnp.arange(nsteps))
             return s
         self.run = jax.jit(run, static_argnames=("nsteps", "accumulate"))
@@ -592,14 +837,15 @@ class _Block:
                 _, rnd, conv = c
                 return (rnd < rounds_cap) & ~conv.all()
 
+            aux = sweep_aux(st) if self._use_sweeps else None
+
             def body(c):
                 s, rnd, conv = c
                 kb = jax.random.fold_in(key, 1_000_000 + rnd)
                 active = ~conv
 
                 def bbody(s, i):
-                    return self._step(st, s, jax.random.fold_in(kb, i),
-                                      True, active), None
+                    return iteration(st, aux, s, kb, i, True, active), None
                 s, _ = jax.lax.scan(bbody, s, jnp.arange(block_steps))
                 return (s, rnd + 1, conv | converged(st, s))
 
@@ -609,10 +855,18 @@ class _Block:
 
         def run_to_convergence(st, s, key, transient_steps, block_steps,
                                max_rounds, rounds_per_span=None):
-            """Transient + per-tree convergence loop (host-chained spans)."""
+            """Transient + per-tree convergence loop (host-chained spans).
+
+            ``transient_steps``/``block_steps`` are PROPOSAL budgets in the
+            reference's units; they are converted to scan iterations via
+            ``self.ppi`` (each iteration = 1 single proposal + 1 gap
+            sweep)."""
             if rounds_per_span is None:
                 rounds_per_span = ROUNDS_PER_SPAN
-            s = self.run(st, s, key, transient_steps, False)
+            transient_iters = max(32, int(np.ceil(transient_steps
+                                                  / self.ppi)))
+            block_steps = max(8, int(np.ceil(block_steps / self.ppi)))
+            s = self.run(st, s, key, transient_iters, False)
             B = int(s.coords.shape[0])
             conv = jnp.zeros(B, bool)
             rnd = jnp.int32(0)
@@ -626,6 +880,50 @@ class _Block:
                     break
             return s, rnd_h, conv
         self.run_to_convergence = run_to_convergence
+
+
+def _initial_orders_batch(cl: np.ndarray, cr: np.ndarray, N: int,
+                          rng: np.random.Generator):
+    """Random linear extensions for a whole (B, M) tree batch at once.
+
+    Vectorized replacement for per-tree :func:`_initial_order` (the host
+    loop dominated run_mcmc's CPU time at 10^4-tree batches): draw a
+    random key per internal node, push keys up so every parent exceeds
+    its children (bottom-up fixed point over numpy arrays), and argsort —
+    a random (not exactly uniform) linear extension; the initial order
+    only seeds the burn-in (see module docstring deviations)."""
+    B, M = cl.shape
+    pseudo = np.zeros((B, M), dtype=np.float64)
+    pseudo[:, N:] = rng.random((B, M - N))
+    safe_l = np.maximum(cl, 0)
+    safe_r = np.maximum(cr, 0)
+    eps = 1e-9
+    for _ in range(M):
+        child_max = np.maximum(np.take_along_axis(pseudo, safe_l, axis=1),
+                               np.take_along_axis(pseudo, safe_r, axis=1))
+        nxt = np.where(cl >= 0, np.maximum(pseudo, child_max + eps),
+                       pseudo)
+        if np.array_equal(nxt, pseudo):
+            break
+        pseudo = nxt
+    sidx = np.argsort(pseudo, axis=1, kind="stable").astype(np.int32)
+    order = np.empty((B, M), dtype=np.int32)
+    np.put_along_axis(order, sidx, np.arange(M, dtype=np.int32)[None, :],
+                      axis=1)
+    return sidx, order
+
+
+def _initial_coords_batch(sidx: np.ndarray, N: int) -> np.ndarray:
+    """(B, M) coalescent-prior starting ages (vectorized twin of
+    :func:`_initial_coords`, contemporary samples)."""
+    B, M = sidx.shape
+    nl = np.concatenate([[N], 2 * N - np.arange(N + 1, M)]).astype(
+        np.float64)
+    cur = np.cumsum(2.0 / (nl * (nl - 1.0)))
+    coords = np.zeros((B, M), dtype=np.float64)
+    np.put_along_axis(coords, sidx[:, N:],
+                      np.broadcast_to(cur, (B, M - N)), axis=1)
+    return coords
 
 
 def _initial_order(tree: Tree, rng: np.random.Generator):
@@ -868,24 +1166,25 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         mut_rate=jnp.asarray(mrate, jnp.float32),
         kc2_pos=jnp.asarray(kc2, jnp.float32),
         epochs=epochs_d, rates=rates_d, cumR=cumR_d,
-        F=F_d, Rg=Rg_d, cumIRg=cumIRg_d)
+        F=F_d, Rg=Rg_d, cumIRg=cumIRg_d,
+        depth=jnp.asarray(tree_depths(parent), jnp.int32))
 
     ages_n = None
     if sample_ages is not None and np.any(np.asarray(sample_ages) != 0):
         ages_n = np.asarray(sample_ages, dtype=np.float64) / Ne
 
-    coords0 = np.empty((B, M), dtype=np.float32)
-    order0 = np.empty((B, M), dtype=np.int32)
-    sidx0 = np.empty((B, M), dtype=np.int32)
-    for b, t in enumerate(trees):
-        if ages_n is None:
-            si, o = _initial_order(t, rng)
-            coords0[b] = _initial_coords(si, N)
-        else:
+    if ages_n is None:
+        sidx0, order0 = _initial_orders_batch(cl, cr, N, rng)
+        coords0 = _initial_coords_batch(sidx0, N).astype(np.float32)
+    else:
+        coords0 = np.empty((B, M), dtype=np.float32)
+        order0 = np.empty((B, M), dtype=np.int32)
+        sidx0 = np.empty((B, M), dtype=np.int32)
+        for b, t in enumerate(trees):
             si, o = _pseudo_order(t, ages_n)
             coords0[b] = _initial_coords(si, N, ages_n)
-        order0[b] = o
-        sidx0[b] = si
+            order0[b] = o
+            sidx0[b] = si
 
     state = init_chain_state(coords0, order0, sidx0)
 
@@ -910,9 +1209,6 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     final_count = np.asarray(state.count, dtype=np.float64)
 
     avg = final_ssum / np.maximum(final_count, 1.0)[:, None]
-    bl = np.zeros((B, M), dtype=np.float64)
-    for b in range(B):
-        p = parent[b]
-        sel = p >= 0
-        bl[b, sel] = Ne * (avg[b, p[sel]] - avg[b, sel])
+    pav = np.take_along_axis(avg, np.maximum(parent, 0), axis=1)
+    bl = np.where(parent >= 0, Ne * (pav - avg), 0.0)
     return np.maximum(bl, 0.0)[:B_real]

@@ -110,17 +110,13 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
         kc2_pos=kc2.astype(np.float32),
         epochs=np.asarray(e_norm, np.float32),
         rates=rt.astype(np.float32),
-        cumR=cumR.astype(np.float32))
+        cumR=cumR.astype(np.float32),
+        depth=mcmc.tree_depths(parent).astype(np.int32))
     st = jax.tree.map(lambda x: jax.numpy.asarray(x), st)
 
-    coords0 = np.empty((B, M), dtype=np.float32)
-    order0 = np.empty((B, M), dtype=np.int32)
-    sidx0 = np.empty((B, M), dtype=np.int32)
-    for b, t in enumerate(trees):
-        si, o = mcmc._initial_order(t, rng)
-        coords0[b] = mcmc._initial_coords(si, N)
-        order0[b] = o
-        sidx0[b] = si
+    sidx0, order0 = mcmc._initial_orders_batch(
+        np.asarray(st.child_left), np.asarray(st.child_right), N, rng)
+    coords0 = mcmc._initial_coords_batch(sidx0, N).astype(np.float32)
     state = mcmc.init_chain_state(coords0, order0, sidx0)
 
     block = mcmc._Block(N, M, True)
@@ -131,10 +127,13 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
     state, _, _ = block.run_to_convergence(st, state, key, 50 * delta,
                                            max(delta, 128), 2000)
 
+    # num_proposals is a proposal budget in the reference's units; each
+    # scan iteration delivers ~block.ppi proposals (single step + sweep)
+    iters_per_sample = max(8, int(np.ceil(num_proposals / block.ppi)))
     out = np.empty((num_samples, B, M), dtype=np.float64)
     for s in range(num_samples):
         state = block.run(st, state, jax.random.fold_in(key, s + 1),
-                          num_proposals, False)
+                          iters_per_sample, False)
         coords = np.asarray(state.coords, dtype=np.float64)
         bl = np.zeros((B, M))
         for b in range(B):

@@ -77,10 +77,15 @@ def _pearson_device(prod, n1, n2, N):
     return r
 
 
-def _match_pair(corr, tp, t_cl, t_cr, rp, r_cl, r_cr, nl_t, nl_r, N, M):
+def _match_pair(corr, tp, t_cl, t_cr, rp, r_cl, r_cr, nl_t, nl_r, N, M,
+                compat_tab):
     """Device twin of branch_association._match_from_corr for ONE pair.
 
-    Returns eq (M,) int32."""
+    ``compat_tab``: the host oracle's (N+1, N+1) float64-derived
+    leaf-count compatibility table as a device bool constant — computing
+    the limit in f32 on device can flip the strict comparison on
+    borderline (c, c2, N) combinations and diverge from the differential
+    oracle. Returns eq (M,) int32."""
     import jax
     import jax.numpy as jnp
 
@@ -142,19 +147,14 @@ def _match_pair(corr, tp, t_cl, t_cr, rp, r_cl, r_cr, nl_t, nl_r, N, M):
     # masked (M, M) reductions — no bounded candidate lists, no 512-step
     # scan, no host fallback.
     unpaired = is_int & (eq == -1)
-    # leaf-count compatibility, computed arithmetically (the host's
-    # _count_compat_table formula — a (B, M, M) table gather would cost
-    # more than these elementwise ops)
-    a = nl_t[:, None].astype(jnp.float32)
-    b = nl_r[None, :].astype(jnp.float32)
-    lo = jnp.minimum(a, b)
-    hi = jnp.maximum(a, b)
-    lim = (hi / (N - hi + 1e-30)) * ((N - lo)
-                                     / jnp.where(lo == 0, 1.0, lo))
-    compat_ab = ~((a != b) & (1.0 / (THR * THR) < lim))
+    # leaf-count compatibility from the precomputed f64 host table (two
+    # chained row/column takes on the (N+1, N+1) constant)
+    compat_ab = jnp.take(jnp.take(compat_tab, nl_t, axis=0), nl_r, axis=1)
     cand3 = ((corr >= THR) & (pc >= THR) & (eq_ref[None, :] == -1)
              & compat_ab & unpaired[:, None])
-    BIGI = jnp.int32(2 * M * (M + 1))
+    # tie-break sentinel; row_tie < M*(M+2) always fits, so clamping at
+    # int32 max keeps the argmin correct for any M
+    BIGI = jnp.int32(min(2 * M * (M + 1), 2**31 - 1))
     # row tie-break key among equal scores: (nl_r[j], j); column: i
     row_tie = (nl_r * (M + 1) + ar)[None, :]
 
@@ -200,6 +200,9 @@ def _pair_kernel(N: int, M: int):
     import jax
     import jax.numpy as jnp
 
+    from .branch_association import _count_compat_table
+    compat_tab = jnp.asarray(_count_compat_table(N))
+
     def kernel(parent, cl, cr):
         # parent/cl/cr: (T, M) for T = B+1 consecutive trees -> B pairs
         L = _leafmats(parent, cl, cr, N)              # (T, M, N) f32
@@ -213,7 +216,7 @@ def _pair_kernel(N: int, M: int):
         def one(corr_k, tpk, tclk, tcrk, rpk, rclk, rcrk, nlt, nlr):
             return _match_pair(corr_k, tpk, tclk, tcrk, rpk, rclk, rcrk,
                                nlt.astype(jnp.int32),
-                               nlr.astype(jnp.int32), N, M)
+                               nlr.astype(jnp.int32), N, M, compat_tab)
 
         return jax.vmap(one)(corr, parent[1:], cl[1:], cr[1:],
                              parent[:-1], cl[:-1], cr[:-1],
@@ -228,8 +231,9 @@ def branch_association_many_device(trees: List[Tree],
                                    pair_chunk: int = 256
                                    ) -> List[np.ndarray]:
     """Equivalences for every adjacent pair of ``trees``, computed on
-    device in ``pair_chunk``-pair batches; overflowed pairs (bounded
-    candidate buffers exceeded) redo on the host matcher."""
+    device in ``pair_chunk``-pair batches by the exact unbounded
+    while-loop matcher (no candidate buffers, no host fallback — see
+    ``_match_pair``)."""
     T = len(trees)
     if T < 2:
         return []

@@ -71,10 +71,13 @@ P2 = 0.7  # UpdateOneEvent share of proposals
 ROUNDS_PER_SPAN = int(os.environ.get("RELATE_TPU_MCMC_ROUNDS_PER_SPAN",
                                      "10"))
 
-# max B*M cells per compiled chain-batch program: the axon TPU runtime
-# falls over above ~4k chains at M=511 (worker crash); cap the product
-# and round the batch to a power of two so only a few shapes compile
-MAX_CHAIN_CELLS = 1024 * 511
+# max B*M cells per compiled chain-batch program: bounds device memory and
+# program size while keeping the VPU saturated (throughput is flat from
+# ~512k cells up, measured on v5e — chain batches beyond that only add
+# dispatch latency; the historic ~4k-chain axon-runtime crash no longer
+# reproduces, verified to 8192 chains at M=511)
+MAX_CHAIN_CELLS = int(os.environ.get("RELATE_TPU_MCMC_MAX_CELLS",
+                                     str(4096 * 511)))
 
 
 def chain_batch_cap(M: int) -> int:
@@ -250,18 +253,20 @@ def _rate_integral_bm(st: ChainStatic, t):
 
 
 def tree_depths(parent: np.ndarray) -> np.ndarray:
-    """(B, M) node depths below the root from (B, M) parent arrays."""
+    """(B, M) node depths below the root from (B, M) parent arrays
+    (pointer doubling: O(log height) gather rounds)."""
     parent = np.asarray(parent)
-    B, M = parent.shape
-    d = np.zeros((B, M), dtype=np.int32)
-    safe = np.maximum(parent, 0)
-    for _ in range(M):
-        nd = np.where(parent >= 0,
-                      np.take_along_axis(d, safe, axis=1) + 1, 0)
-        if np.array_equal(nd, d):
-            break
-        d = nd
-    return d
+    d = (parent >= 0).astype(np.int32)
+    j = np.maximum(parent, 0).astype(np.int64)
+    root_mask = parent < 0
+    j[root_mask] = np.broadcast_to(
+        np.arange(parent.shape[1]), parent.shape)[root_mask]
+    while True:
+        d2 = d + np.take_along_axis(d, j, axis=1)
+        if np.array_equal(d2, d):
+            return d
+        d = d2
+        j = np.take_along_axis(j, j, axis=1)
 
 
 def sweep_aux(st: ChainStatic):
@@ -417,7 +422,6 @@ def make_sweep_fn(N: int, M: int, use_vp: bool, use_ages: bool = False):
         acc = sel & (jnp.log(u2) < llr)
         if active is not None:
             acc = acc & active[:, None]
-            sel = sel & active[:, None]
 
         coords2 = jnp.where(acc, tnew, coords)
         # output sort: re-establish the cs == coords[sorted_idx] invariant
@@ -430,15 +434,172 @@ def make_sweep_fn(N: int, M: int, use_vp: bool, use_ages: bool = False):
                 count = s.count + active.astype(jnp.float32)
             else:
                 count = s.count + 1.0
-            cprop = s.cprop + sel.astype(jnp.int32)
         else:
-            ssum, scomp, count, cprop = (s.ssum, s.scomp, s.count,
-                                         s.cprop)
+            ssum, scomp, count = s.ssum, s.scomp, s.count
+        # age-only sweep proposals do NOT count toward cprop: the
+        # convergence gate counts order-capable proposals only (singles +
+        # order sweeps), so sweeps cannot mask an under-mixed event order
         return ChainState(coords2, order, sidx, cs2, ssum, scomp, count,
-                          cprop)
+                          s.cprop)
 
     return sweep
 
+
+
+def make_order_sweep_fn(N: int, M: int):
+    """Parallel adjacent-transposition ORDER sweep: for every sorted
+    position pair (p, p+1) with p = phase (mod 4), propose exchanging the
+    AGES of the two events (equivalently, swapping their order) — the
+    device-parallel counterpart of the reference's ``SwitchOrder``
+    (branch_length_estimator.cpp:385-583), restricted to adjacent events.
+
+    Exactness of the simultaneous decisions:
+
+    - the sorted age multiset and the per-position lineage profile are
+      invariant under every swap, so the coalescent prior (constant, vp,
+      and ancient-sample variants) cancels exactly — only the per-branch
+      Poisson mutation terms enter the ratio, as in the reference;
+    - two nodes at ADJACENT sorted positions can only be poset-related as
+      direct parent/child (any longer chain would need a node strictly
+      between their positions), so ``parent[u] == v`` is the complete
+      order-validity check;
+    - a pair's ratio involves the ages of the pair's nodes and their
+      parents/children only; a pair is invalidated when any such family
+      member is internal AND sits at a position of class
+      ``(r - phase) mod 4 in {0, 1}`` (i.e. could itself be swapped this
+      phase). Position classes are invariant under the swaps (a swap moves
+      nodes between p and p+1, both in-class), and leaves never swap, so
+      the selection predicate is measurable with respect to the frozen
+      complement and the joint kernel factorizes per pair;
+    - this also covers the within-pair relation: ``parent[u] == v`` puts
+      an internal family member at p+1 (in class), invalidating the pair.
+
+    Event-ORDER proposals per sweep: ~(M-N)/4 pairs, so each internal node
+    is an order-swap candidate roughly every 2 iterations — the same
+    scaling the age sweep gives age moves. This is what lets the
+    convergence gate count ORDER-CAPABLE proposals (see _Block) without
+    collapsing back to the reference's serial per-node budget.
+
+    Data movement mirrors make_sweep_fn: three stable multi-operand
+    ``lax.sort`` calls (family scatter, node->position, position->node)
+    instead of gathers."""
+
+    node_is_internal = (np.arange(M) >= N)[None, :]
+    pos_iota = jnp.arange(M, dtype=jnp.int32)[None, :]
+
+    def sweep(st: ChainStatic, s: ChainState, aux, phase, u2,
+              active=None, accumulate=True):
+        ne_cl, ne_cr, mr_cl, mr_cr, fc_keys, root_id = aux
+        coords, order, sidx, cs = s.coords, s.order, s.sorted_idx, s.cs
+        B = coords.shape[0]
+        is_root = st.parent < 0
+
+        # family sort #1: parent/child AGES and POSITIONS into node order
+        rootval = jnp.take_along_axis(coords, root_id, axis=1)
+        rootord = jnp.take_along_axis(order, root_id, axis=1)
+        fc_age = jnp.concatenate([coords, coords, coords, rootval], axis=1)
+        fc_ord = jnp.concatenate([order, order, order, rootord], axis=1)
+        _, fage, ford = jax.lax.sort((fc_keys, fc_age, fc_ord), num_keys=1)
+        page = fage[:, :M]
+        page_ord = ford[:, :M]
+        cage = fage[:, M: M + 2 * (M - N)].reshape(B, M - N, 2)
+        cord = ford[:, M: M + 2 * (M - N)].reshape(B, M - N, 2)
+        zf = jnp.zeros((B, N), fage.dtype)
+        zi = jnp.zeros((B, N), ford.dtype)
+        cage_l = jnp.concatenate([zf, cage[:, :, 0]], axis=1)
+        cage_r = jnp.concatenate([zf, cage[:, :, 1]], axis=1)
+        cord_l = jnp.concatenate([zi, cord[:, :, 0]], axis=1)
+        cord_r = jnp.concatenate([zi, cord[:, :, 1]], axis=1)
+
+        # position-neighbor ages into node order (sort #2a, shared keys)
+        cs_m1 = jnp.concatenate([cs[:, :1], cs[:, :-1]], axis=1)
+        cs_p1 = jnp.concatenate([cs[:, 1:], cs[:, -1:]], axis=1)
+        _, cs_lo, cs_hi = jax.lax.sort((sidx, cs_m1, cs_p1), num_keys=1)
+
+        # node-major: mutation llr of moving to the age one position up
+        # (m_up) / down (m_dn); family bounds as in the age sweep
+        def mut_delta(delta):
+            tb = page - coords
+            tbl = coords - cage_l
+            tbr = coords - cage_r
+            coeff = jnp.where(is_root, -(mr_cl + mr_cr),
+                              st.mut_rate - mr_cl - mr_cr)
+            m = coeff * delta
+            m = m + jnp.where((~is_root) & (st.num_events >= 1.0),
+                              st.num_events * _log1p(-delta / tb), 0.0)
+            m = m + jnp.where(ne_cl >= 1.0, ne_cl * _log1p(delta / tbl),
+                              0.0)
+            m = m + jnp.where(ne_cr >= 1.0, ne_cr * _log1p(delta / tbr),
+                              0.0)
+            bad_inf = (tbl == 0.0) | (tbr == 0.0) | (~is_root & (tb == 0.0))
+            bad_rej = ((tbl <= -delta) | (tbr <= -delta)
+                       | (~is_root & (tb <= delta)))
+            m = jnp.where(bad_inf, jnp.inf, m)
+            m = jnp.where(bad_rej, -jnp.inf, m)
+            return m
+
+        m_up = mut_delta(cs_hi - coords)
+        m_dn = mut_delta(cs_lo - coords)
+
+        # family invalidation: internal member at an in-class position
+        def touched(r):
+            return ((r - phase) & 3) < 2
+
+        fam_ok = ~(touched(page_ord) & ~is_root)
+        fam_ok &= ~((st.child_left >= N) & touched(cord_l))
+        fam_ok &= ~((st.child_right >= N) & touched(cord_r))
+        fam_ok &= node_is_internal
+        # pack (fam_ok, m_up, m_dn) into position order (sort #2b)
+        _, fam_ok_p, m_up_p, m_dn_p = jax.lax.sort(
+            (order, fam_ok.astype(jnp.float32), m_up, m_dn), num_keys=1)
+
+        # position-major pair decisions: pair (p, p+1), p = phase (mod 4)
+        fam_ok_n = jnp.concatenate(
+            [fam_ok_p[:, 1:], jnp.zeros((B, 1), jnp.float32)], axis=1)
+        m_dn_n = jnp.concatenate(
+            [m_dn_p[:, 1:], jnp.full((B, 1), -jnp.inf)], axis=1)
+        sel = ((pos_iota & 3) == phase) & (pos_iota < M - 2)
+        valid = sel & (fam_ok_p > 0.5) & (fam_ok_n > 0.5)
+        llr = m_up_p + m_dn_n
+        acc = valid & (jnp.log(u2) < llr)
+        if active is not None:
+            acc = acc & active[:, None]
+            valid = valid & active[:, None]
+        acc_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), acc[:, :-1]], axis=1)
+
+        sidx_up = jnp.concatenate([sidx[:, 1:], sidx[:, -1:]], axis=1)
+        sidx_dn = jnp.concatenate([sidx[:, :1], sidx[:, :-1]], axis=1)
+        new_sidx = jnp.where(acc, sidx_up,
+                             jnp.where(acc_prev, sidx_dn, sidx))
+
+        # output sort (sort #3): node-major new order and new coords in one
+        # pass — sorting positions and position-ages by the new occupant
+        _, new_order, new_coords = jax.lax.sort(
+            (new_sidx, jnp.broadcast_to(pos_iota, (B, M)), cs), num_keys=1)
+
+        # per-node order-proposal counts: members of valid pairs
+        valid_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), valid[:, :-1]], axis=1)
+        prop_pos = (valid | valid_prev).astype(jnp.float32)
+        _, dprop_f = jax.lax.sort((new_sidx, prop_pos), num_keys=1)
+
+        if accumulate:
+            ssum, scomp = _kahan_add(s.ssum, s.scomp, new_coords)
+            if active is not None:
+                ssum = jnp.where(active[:, None], ssum, s.ssum)
+                scomp = jnp.where(active[:, None], scomp, s.scomp)
+                count = s.count + active.astype(jnp.float32)
+            else:
+                count = s.count + 1.0
+            cprop = s.cprop + dprop_f.astype(jnp.int32)
+        else:
+            ssum, scomp, count, cprop = (s.ssum, s.scomp, s.count,
+                                         s.cprop)
+        return ChainState(new_coords, new_order, new_sidx, cs, ssum, scomp,
+                          count, cprop)
+
+    return sweep
 
 
 def make_step_fn(N: int, M: int, use_vp: bool, use_pair: bool = False,
@@ -775,31 +936,47 @@ class _Block:
     """Compiled fixed-length proposal blocks + device-side convergence
     check (one scalar per tree crosses the host link per round)."""
 
-    def __init__(self, N, M, use_vp, use_pair=False, use_ages=False):
+    def __init__(self, N, M, use_vp, use_pair=False, use_ages=False,
+                 sweeps="both"):
+        """``sweeps``: "both" (default), "age", "order", or "none" —
+        which parallel sweeps each iteration runs besides the single
+        proposal. Non-default values exist for the differential sweep
+        tests (tests/test_mcmc_sweep.py)."""
         self._step = make_step_fn(N, M, use_vp, use_pair, use_ages)
         # the pairwise-group prior couples levels through which pair
         # coalesces; the gap sweep's per-node factorization still holds
         # (order fixed -> S/D profiles fixed) but is not implemented for
         # it — pair chains run single proposals only
-        self._use_sweeps = not use_pair
+        self._use_sweeps = not use_pair and sweeps != "none"
         self._sweep = (make_sweep_fn(N, M, use_vp, use_ages)
-                       if self._use_sweeps else None)
-        # nominal proposals per scan iteration, used to convert the
-        # reference's proposal budgets (transient, sampling gaps) into
-        # iteration counts: 1 single proposal + (every internal node is
-        # swept exactly once per 4 phases)
-        self.ppi = 1 + (0.25 * (M - N) if self._use_sweeps else 0.0)
+                       if self._use_sweeps and sweeps in ("both", "age")
+                       else None)
+        self._osweep = (make_order_sweep_fn(N, M)
+                        if self._use_sweeps and sweeps in ("both", "order")
+                        else None)
+        # nominal ORDER-CAPABLE proposals per scan iteration, used to
+        # convert the reference's proposal budgets (transient, sampling
+        # gaps) into iteration counts: 1 single proposal + the order
+        # sweep's ~(M-N)/4 adjacent transpositions (x ~validity). Age-only
+        # sweeps are a free add-on and do not enter the budget conversion
+        # or the cprop convergence gate.
+        self.ppi = 1 + (0.25 * (M - N) if self._osweep is not None else 0.0)
 
         def iteration(st, aux, s, key, i, accumulate, active=None):
-            s = self._step(st, s, jax.random.fold_in(key, 2 * i),
+            s = self._step(st, s, jax.random.fold_in(key, 3 * i),
                            accumulate, active)
-            if self._use_sweeps:
+            if self._sweep is not None:
                 ku1, ku2 = jax.random.split(jax.random.fold_in(key,
-                                                               2 * i + 1))
+                                                               3 * i + 1))
                 u1 = jax.random.uniform(ku1, s.coords.shape)
                 u2 = jax.random.uniform(ku2, s.coords.shape)
                 s = self._sweep(st, s, aux, i % 4, u1, u2, active,
                                 accumulate)
+            if self._osweep is not None:
+                ko = jax.random.fold_in(key, 3 * i + 2)
+                uo = jax.random.uniform(ko, s.coords.shape)
+                s = self._osweep(st, s, aux, i % 4, uo, active,
+                                 accumulate)
             return s
         self._iteration = iteration
 
@@ -880,6 +1057,23 @@ class _Block:
                     break
             return s, rnd_h, conv
         self.run_to_convergence = run_to_convergence
+
+
+_BLOCK_CACHE: dict = {}
+
+
+def get_block(N: int, M: int, use_vp: bool, use_pair: bool = False,
+              use_ages: bool = False) -> "_Block":
+    """Process-cached _Block instances. A fresh _Block per run_mcmc call
+    re-jits (and re-lowers) every chain program — ~1.5 s of pure host
+    tracing per tree batch at M=511 — so instances are cached by the
+    static configuration; all batch data flows through arguments."""
+    key = (N, M, use_vp, use_pair, use_ages, ROUNDS_PER_SPAN)
+    blk = _BLOCK_CACHE.get(key)
+    if blk is None:
+        blk = _Block(N, M, use_vp, use_pair, use_ages)
+        _BLOCK_CACHE[key] = blk
+    return blk
 
 
 def _initial_orders_batch(cl: np.ndarray, cr: np.ndarray, N: int,
@@ -1193,7 +1387,7 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         st = shard_batch(mesh, st, B, mesh_axis)
         state = shard_batch(mesh, state, B, mesh_axis)
 
-    block = _Block(N, M, use_vp, use_pair, use_ages=ages_n is not None)
+    block = get_block(N, M, use_vp, use_pair, use_ages=ages_n is not None)
     key = jax.random.PRNGKey(seed)
 
     # Transient + PER-TREE convergence loop, all in one device program:

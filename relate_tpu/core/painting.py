@@ -371,6 +371,16 @@ def make_device_planner(model: PaintingModel):
         slv = jnp.broadcast_to(S_lo[None, :L], (B, L))
         skeys, sh_s, sl_s = jax.lax.sort((keys, shv, slv), dimension=1,
                                          num_keys=1)
+        if L < Dmax - 1:
+            # Dmax buckets can exceed short windows (tests, chunk tails):
+            # extend the compacted arrays with padding columns
+            padw = Dmax - 1 - L
+            skeys = jnp.concatenate(
+                [skeys, jnp.full((B, padw), jnp.int32(L))], axis=1)
+            sh_s = jnp.concatenate([sh_s, sh_s[:, -1:].repeat(padw, 1)],
+                                   axis=1)
+            sl_s = jnp.concatenate([sl_s, sl_s[:, -1:].repeat(padw, 1)],
+                                   axis=1)
         col = jnp.arange(Dmax, dtype=jnp.int32)[None, :]
         inner_sel = col <= counts
         idx = jnp.concatenate([first_c, skeys[:, :Dmax - 1]], axis=1)
@@ -521,15 +531,65 @@ class Painter:
         self._cumG = None
         self._S = None
         self._G_pad = None
+        self._pk_cache = None
 
     # -- pallas fast path caches ------------------------------------------
     def _use_pallas(self) -> bool:
-        if self.mesh is not None:
-            # the sharded path runs the portable scan kernels
-            return False
         if os.environ.get("RELATE_TPU_NO_PALLAS"):
             return False
+        if os.environ.get("RELATE_TPU_PALLAS_INTERPRET"):
+            # interpret-mode kernels: exercises the (mesh x) Pallas wiring
+            # on any backend (CPU-mesh tests)
+            return True
         return jax.default_backend() == "tpu"
+
+    def _pallas_fns(self, theta: float):
+        """(fwd, bwd, bwd_emit) kernel callables. With a mesh, each is
+        ``shard_map``ped over the target-batch (lane) axis — every device
+        runs the fused kernel on its own target shard against its replica
+        of the panel streams (VERDICT r3 #3: the mesh path must not fall
+        back to the slow scan twins)."""
+        if self._pk_cache is not None and self._pk_cache[0] == theta:
+            return self._pk_cache[1]
+        from functools import partial as _partial
+
+        from ..ops import paint_kernels
+        interp = bool(os.environ.get("RELATE_TPU_PALLAS_INTERPRET"))
+        fwd0 = _partial(paint_kernels.fwd_pallas, theta=theta,
+                        interpret=interp)
+        bwd0 = _partial(paint_kernels.bwd_pallas, theta=theta,
+                        interpret=interp)
+        bwde0 = _partial(paint_kernels.bwd_pallas, theta=theta,
+                         interpret=interp, emit_beta=True)
+        if self.mesh is None:
+            fns = (fwd0, bwd0, bwde0)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import _shard_map
+            ax = self._mesh_axis
+            v1 = P(None, ax)
+            v2 = P(None, None, ax)
+            fwd = _shard_map(fwd0, mesh=self.mesh,
+                             in_specs=(v1, v1, v1, v2, v1, v1),
+                             out_specs=(v2, v1), check_vma=False)
+            bwd = _shard_map(bwd0, mesh=self.mesh,
+                             in_specs=(v1, v1, v1, v2, v1, v1, v2, v1),
+                             out_specs=(v2, v1), check_vma=False)
+            bwde = _shard_map(bwde0, mesh=self.mesh,
+                              in_specs=(v1, v1, v1, v2, v1, v1, v2, v1),
+                              out_specs=(v2, v1), check_vma=False)
+            fns = (fwd, bwd, bwde)
+        self._pk_cache = (theta, fns)
+        return fns
+
+    def _shard_last(self, a):
+        """device_put with the target-batch (last) axis sharded."""
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*([None] * (a.ndim - 1) + [self._mesh_axis]))
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
 
     # -- mesh helpers ------------------------------------------------------
     def _pad_rows(self, a, B_pad: int):
@@ -591,8 +651,14 @@ class Painter:
         cumG = self._cum_counts()
         counts = (cumG[last_arr, targets]
                   - cumG[first_arr + 1, targets]).astype(np.int64)
-        Dmax = -(-(int(counts.max()) + 2) // 256) * 256   # bucketed
-        Bp = -(-B // 128) * 128
+        # step-count bucket (compile-cache reuse across windows); the env
+        # override exists for the interpret-mode wiring tests, where every
+        # padded step row costs real time
+        bucket = int(os.environ.get("RELATE_TPU_PAINT_DMAX_BUCKET", "256"))
+        Dmax = -(-(int(counts.max()) + 2) // bucket) * bucket
+        # each device shard must hold whole 128-lane tiles
+        quant = 128 * (self._ndev if self.mesh is not None else 1)
+        Bp = -(-B // quant) * quant
         Gd, GTd, Npad = self._padded_panel()
 
         tgt_p = np.zeros(Bp, dtype=np.int32)
@@ -612,6 +678,13 @@ class Painter:
             Gd, GTd, jnp.asarray(S_hi), jnp.asarray(S_lo),
             jnp.asarray(tgt_p), jnp.asarray(fst_p), jnp.asarray(lst_p),
             jnp.asarray(fin), self.N, Dmax=Dmax)
+        if self.mesh is not None:
+            # lay the plan out with the target axis over the mesh so the
+            # shard_mapped kernels consume it without resharding
+            D_d = self._shard_last(D_d)
+            mismT = self._shard_last(mismT)
+            kmaskT = self._shard_last(kmaskT)
+            shifts = tuple(self._shard_last(s) for s in shifts)
         return dict(B=B, Bp=Bp, Npad=Npad, counts=counts,
                     first=first_arr, last=last_arr,
                     idx=idx_d, seqk=seqk_d, D=D_d, mismT=mismT,
@@ -621,7 +694,7 @@ class Painter:
         """(B, N) host state -> (Npad, Bp) kernel layout."""
         out = np.zeros((Npad, Bp), dtype=np.float32)
         out[: self.N, : arr.shape[0]] = np.asarray(arr, np.float32).T
-        return jnp.asarray(out)
+        return self._shard_last(jnp.asarray(out))
 
     def _rows_of_sites(self, prep, targets, sites):
         """Step-row index of absolute sites within a window plan, from
@@ -639,8 +712,6 @@ class Painter:
     def _repaint_pallas(self, first_arr, last_arr, alpha0, beta_end,
                         ls_base, targets) -> "PaintOutput":
         """RePaintSection on the fused Pallas kernels (TPU backend)."""
-        from ..ops import paint_kernels
-
         prep = self._prep_pallas(targets, first_arr, last_arr)
         B, Bp, Npad = prep["B"], prep["Bp"], prep["Npad"]
         counts = prep["counts"]
@@ -650,11 +721,10 @@ class Painter:
         be = self._pad_nb(beta_end, Npad, Bp)
         D2 = prep["D"][None, :]
         theta = float(self.model.theta)
-        alphas, lsf = paint_kernels.fwd_pallas(
-            D2, a0, kmaskT, mismT, pfacm1, nxtm1, theta=theta)
-        topo, lstot = paint_kernels.bwd_pallas(
-            D2, be, kmaskT, mismT, pfacp1, nxtp1, alphas, lsf,
-            theta=theta)
+        fwd_k, bwd_k, _ = self._pallas_fns(theta)
+        alphas, lsf = fwd_k(D2, a0, kmaskT, mismT, pfacm1, nxtm1)
+        topo, lstot = bwd_k(D2, be, kmaskT, mismT, pfacp1, nxtp1,
+                            alphas, lsf)
         topo_bn = _to_bn(topo, B, self.N)
         lstot = lstot[:, :B]
         idx_d, seqk_d = prep["idx"], prep["seqk"]
@@ -834,8 +904,6 @@ class Painter:
         """Stepping-stone checkpoints on the Pallas kernels: same chained
         window sweeps as the scan twin, with boundary rows extracted on
         device (checkpoints come back as small (N, B) slabs)."""
-        from ..ops import paint_kernels
-
         W = len(boundaries) - 1
         N = self.N
         targets = np.arange(N, dtype=np.int32)
@@ -863,9 +931,9 @@ class Painter:
             prep = self._prep_pallas(targets, bsb[w], bse[w])
             pfacm1, nxtm1, _, _ = prep["shifts"]
             a0 = self._pad_nb(alpha, prep["Npad"], prep["Bp"])
-            a_all, lsf = paint_kernels.fwd_pallas(
-                prep["D"][None, :], a0, prep["kmaskT"], prep["mismT"],
-                pfacm1, nxtm1, theta=theta)
+            fwd_k, _, _ = self._pallas_fns(theta)
+            a_all, lsf = fwd_k(prep["D"][None, :], a0, prep["kmaskT"],
+                               prep["mismT"], pfacm1, nxtm1)
             rows = self._rows_of_sites(prep, targets, bsb[w + 1])
             rows_p = np.zeros(prep["Bp"], dtype=np.int64)
             rows_p[:N] = rows
@@ -888,12 +956,12 @@ class Painter:
             a0 = self._pad_nb(alphas0[w], prep["Npad"], prep["Bp"])
             be = self._pad_nb(beta, prep["Npad"], prep["Bp"])
             D2 = prep["D"][None, :]
-            a_all, lsf = paint_kernels.fwd_pallas(
-                D2, a0, prep["kmaskT"], prep["mismT"], pfacm1, nxtm1,
-                theta=theta)
-            beta_all, lsb_all = paint_kernels.bwd_pallas(
-                D2, be, prep["kmaskT"], prep["mismT"], pfacp1, nxtp1,
-                a_all, lsf, theta=theta, emit_beta=True)
+            fwd_k, _, bwde_k = self._pallas_fns(theta)
+            a_all, lsf = fwd_k(D2, a0, prep["kmaskT"], prep["mismT"],
+                               pfacm1, nxtm1)
+            beta_all, lsb_all = bwde_k(D2, be, prep["kmaskT"],
+                                       prep["mismT"], pfacp1, nxtp1,
+                                       a_all, lsf)
             rows = self._rows_of_sites(prep, targets, bse[w - 1])
             rows_p = np.zeros(prep["Bp"], dtype=np.int64)
             rows_p[:N] = rows

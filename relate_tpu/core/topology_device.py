@@ -177,9 +177,14 @@ def _pallas_available(N: int) -> bool:
             and N <= 1024)
 
 
+_KERNEL_CACHE: dict = {}
+
+
 def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
                         use_pallas: bool | None = None):
-    """Compile the full section builder as one jitted program.
+    """Compile the full section builder as one jitted program (process-
+    cached by the static configuration — a fresh jit per call re-traces
+    and re-lowers the whole section scan, ~2s of host time each).
 
     Tree outputs are emitted as per-step scan ys (flush flag + the closed
     tree's events + the new tree's merge lists), NOT carried buffers — scan
@@ -191,6 +196,11 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
     twin `_merge_scan` is used. Tie-break draws differ between the two
     (seed-level noise either way).
     """
+    ck = (float(model_theta), N, L, mode, use_pallas)
+    cached = _KERNEL_CACHE.get(ck)
+    if cached is not None:
+        return cached
+
     M = 2 * N - 1
     thr_map = 0.03 * N
     threshold, threshold_cf = thresholds(model_theta)
@@ -318,7 +328,9 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
         c, recs = jax.lax.scan(step, c, xs)
         return first_merges, c.events, c.num_tree, recs
 
-    return jax.jit(kernel)
+    jitted = jax.jit(kernel)
+    _KERNEL_CACHE[ck] = jitted
+    return jitted
 
 
 def next_derived_rpos(G: np.ndarray, rpos: np.ndarray) -> np.ndarray:

@@ -141,16 +141,44 @@ def topological_order(parent: np.ndarray) -> np.ndarray:
 def children_from_parent(parent: np.ndarray):
     """Recover (child_left, child_right) arrays from a parent array.
     Left child = lower index (the .anc format stores only parents)."""
-    M = len(parent)
-    cl = np.full(M, -1, dtype=np.int32)
-    cr = np.full(M, -1, dtype=np.int32)
-    for i in range(M):
-        p = parent[i]
-        if p >= 0:
-            if cl[p] < 0:
-                cl[p] = i
-            else:
-                cr[p] = i
+    cl, cr = children_from_parent_batch(parent[None, :])
+    return cl[0], cr[0]
+
+
+def children_from_parent_batch(parent: np.ndarray):
+    """(T, M)-batched :func:`children_from_parent`.
+
+    For the builder's node labeling (leaves 0..N-1, internal N..M-1, one
+    root with parent -1, every internal node exactly two children) a stable
+    argsort of each row by parent value groups the children: position 0 is
+    the root, then consecutive pairs are the (lower, higher)-index children
+    of internal nodes N, N+1, ... — an O(T·M log M) vectorized pass where
+    the per-node Python loop cost ~0.2 ms/tree at 10^4-tree chunks."""
+    parent = np.asarray(parent)
+    T, M = parent.shape
+    N = (M + 1) // 2
+    cl = np.full((T, M), -1, dtype=np.int32)
+    cr = np.full((T, M), -1, dtype=np.int32)
+    if M == 1:
+        return cl, cr
+    sidx = np.argsort(parent, axis=1, kind="stable").astype(np.int32)
+    pv = np.take_along_axis(parent, sidx.astype(np.int64), axis=1)
+    expect = np.concatenate(
+        [[-1], np.repeat(np.arange(N, M, dtype=parent.dtype), 2)])
+    if (pv == expect[None, :]).all():
+        cl[:, N:] = sidx[:, 1::2]
+        cr[:, N:] = sidx[:, 2::2]
+        return cl, cr
+    # general fallback (non-canonical labelings, e.g. imported trees)
+    for t in range(T):
+        row = parent[t]
+        for i in range(M):
+            p = row[i]
+            if p >= 0:
+                if cl[t, p] < 0:
+                    cl[t, p] = i
+                else:
+                    cr[t, p] = i
     return cl, cr
 
 

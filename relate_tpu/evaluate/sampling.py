@@ -119,7 +119,7 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
     coords0 = mcmc._initial_coords_batch(sidx0, N).astype(np.float32)
     state = mcmc.init_chain_state(coords0, order0, sidx0)
 
-    block = mcmc._Block(N, M, True)
+    block = mcmc.get_block(N, M, True)
     key = jax.random.PRNGKey(seed)
     # burn-in to convergence (the reference's init=1 converged run,
     # SampleBranchLengths -> EstimateBranchLengths init pass) — one device

@@ -22,7 +22,8 @@ from typing import List, Optional, TextIO, Tuple
 import numpy as np
 
 from ..core.topology import MutationRecord
-from ..core.trees import AncesTree, MarginalTree, Tree, children_from_parent
+from ..core.trees import (AncesTree, MarginalTree, Tree,
+                          children_from_parent, children_from_parent_batch)
 from .haps import smart_open
 
 
@@ -43,15 +44,22 @@ def write_anc_bin(path: str, anc: AncesTree):
         if has_ages:
             f.write(np.asarray(anc.sample_ages, np.float64).tobytes())
         f.write(struct.pack("I", len(anc.seq)))
-        for mt in anc.seq:
-            t = mt.tree
-            arr = np.empty(t.num_nodes, dtype=rec)
-            arr["parent"] = t.parent
-            arr["bl"] = t.branch_length
-            arr["ne"] = t.num_events
-            arr["sb"] = t.SNP_begin
-            arr["se"] = t.SNP_end
-            f.write(struct.pack("i", int(mt.pos)) + arr.tobytes())
+        if not anc.seq:
+            return
+        # one (T,)-records dump instead of a per-tree pack loop
+        M = anc.seq[0].tree.num_nodes
+        trec = np.dtype([("pos", "<i4"), ("nodes", rec, (M,))])
+        arr = np.empty(len(anc.seq), dtype=trec)
+        nodes = arr["nodes"]
+        arr["pos"] = [mt.pos for mt in anc.seq]
+        # stack per-field first (contiguous), then one strided field copy
+        # each — per-tree strided assignment costs ~10x
+        nodes["parent"] = np.stack([mt.tree.parent for mt in anc.seq])
+        nodes["bl"] = np.stack([mt.tree.branch_length for mt in anc.seq])
+        nodes["ne"] = np.stack([mt.tree.num_events for mt in anc.seq])
+        nodes["sb"] = np.stack([mt.tree.SNP_begin for mt in anc.seq])
+        nodes["se"] = np.stack([mt.tree.SNP_end for mt in anc.seq])
+        f.write(arr.tobytes())
 
 
 def read_anc_bin(path: str) -> AncesTree:
@@ -63,20 +71,29 @@ def read_anc_bin(path: str) -> AncesTree:
             ages = np.frombuffer(f.read(8 * N), dtype=np.float64).copy()
         (num_trees,) = struct.unpack("I", f.read(4))
         M = 2 * N - 1
-        rec = np.dtype([("parent", "i4"), ("bl", "f8"), ("ne", "f4"),
-                        ("sb", "i4"), ("se", "i4")])
+        rec = np.dtype([("parent", "<i4"), ("bl", "<f8"), ("ne", "<f4"),
+                        ("sb", "<i4"), ("se", "<i4")])
+        trec = np.dtype([("pos", "<i4"), ("nodes", rec, (M,))])
+        # bulk-read every tree record, then batch-decode: contiguous
+        # column copies + one batched children recovery (the per-tree
+        # loop cost ~0.25 ms/tree, dominated by children_from_parent)
+        arr = np.frombuffer(f.read(trec.itemsize * num_trees), dtype=trec,
+                            count=num_trees)
+        nodes = arr["nodes"]
+        pos_v = arr["pos"]
+        parent_b = np.ascontiguousarray(nodes["parent"])
+        bl_b = np.ascontiguousarray(nodes["bl"])
+        ne_b = np.ascontiguousarray(nodes["ne"])
+        sb_b = np.ascontiguousarray(nodes["sb"])
+        se_b = np.ascontiguousarray(nodes["se"])
+        cl_b, cr_b = children_from_parent_batch(parent_b)
         seq = []
-        for _ in range(num_trees):
-            (pos,) = struct.unpack("i", f.read(4))
-            arr = np.frombuffer(f.read(rec.itemsize * M), dtype=rec)
-            parent = arr["parent"].astype(np.int32)
-            cl, cr = children_from_parent(parent)
-            t = Tree(parent=parent, child_left=cl, child_right=cr,
-                     branch_length=arr["bl"].astype(np.float64),
-                     num_events=arr["ne"].astype(np.float32),
-                     SNP_begin=arr["sb"].astype(np.int32),
-                     SNP_end=arr["se"].astype(np.int32))
-            seq.append(MarginalTree(pos=pos, tree=t))
+        for t in range(num_trees):
+            tr = Tree(parent=parent_b[t], child_left=cl_b[t],
+                      child_right=cr_b[t], branch_length=bl_b[t],
+                      num_events=ne_b[t], SNP_begin=sb_b[t],
+                      SNP_end=se_b[t])
+            seq.append(MarginalTree(pos=int(pos_v[t]), tree=tr))
     return AncesTree(N=N, seq=seq, sample_ages=ages)
 
 
@@ -222,8 +239,18 @@ def get_age(anc: AncesTree, muts: List[MutationRecord]):
     if not anc.seq:
         return
     M = anc.seq[0].tree.num_nodes
-    cl = np.stack([mt.tree.child_left for mt in anc.seq])
+    ages = anc.sample_ages
+    has_ages = ages is not None and len(ages)
     bl = np.stack([mt.tree.branch_length for mt in anc.seq])
+    if not bl.any() and not has_ages:
+        # zero-length trees (BuildTopology stage, before the MCMC): every
+        # age is 0; skip the chain walk entirely
+        for m in muts:
+            if len(m.branch) == 1:
+                m.age_begin = 0.0
+                m.age_end = 0.0
+        return
+    cl = np.stack([mt.tree.child_left for mt in anc.seq])
     age = np.zeros_like(bl)
     # walker per node: descend the left-child chain, summing each visited
     # child's branch length; the final walker position is the chain's leaf
@@ -238,17 +265,22 @@ def get_age(anc: AncesTree, muts: List[MutationRecord]):
         age = np.where(act, age + np.take_along_axis(bl, sc, axis=1), age)
         w = np.where(act, sc, w)
     leaf = w
-    ages = anc.sample_ages
-    has_ages = ages is not None and len(ages)
-    for m in muts:
-        if len(m.branch) != 1:
-            continue
-        b = m.branch[0]
-        a = float(age[m.tree, b])
-        if has_ages:
-            a += float(ages[leaf[m.tree, b]])
-        m.age_begin = a
-        m.age_end = a + float(bl[m.tree, b])
+    # gather every single-branch mutation's ages in one vectorized pass,
+    # then assign plain Python floats (numpy-scalar attribute sets cost
+    # ~40 us each at 10^4-mutation chunks)
+    sel = [i for i, m in enumerate(muts) if len(m.branch) == 1]
+    if not sel:
+        return
+    ti = np.asarray([muts[i].tree for i in sel])
+    bi = np.asarray([muts[i].branch[0] for i in sel])
+    a = age[ti, bi]
+    if has_ages:
+        a = a + np.asarray(ages)[leaf[ti, bi]]
+    ae = (a + bl[ti, bi]).tolist()
+    ab = a.tolist()
+    for k, i in enumerate(sel):
+        muts[i].age_begin = ab[k]
+        muts[i].age_end = ae[k]
 
 
 # ---------------------------------------------------------------------------

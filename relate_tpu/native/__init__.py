@@ -19,7 +19,8 @@ _tried = False
 
 def _build() -> bool:
     cxx = os.environ.get("CXX", "g++")
-    cmd = [cxx, "-O2", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz"]
+    cmd = [cxx, "-O2", "-shared", "-fPIC", "-pthread", "-o", _SO, _SRC,
+           "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True

@@ -14,6 +14,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -116,6 +119,29 @@ long rt_read_haps(const char* path, int N, long L, uint8_t* G, int64_t* bp,
 // Write marginal-tree lines of a text .anc: per tree
 // "pos: p:(%.5f %.3f sb se) ... \n" (anc.cpp:797-815 format).
 // parents: (T*Mn) int32; bl: f64; ne: f32; sb/se: i32; pos: (T,) i32.
+static void format_tree_range(long t0, long t1, int Mn, const int32_t* pos,
+                              const int32_t* parents, const double* bl,
+                              const float* ne, const int32_t* sb,
+                              const int32_t* se, std::string* out) {
+  out->reserve((size_t)(t1 - t0) * Mn * 40);
+  char buf[128];
+  for (long t = t0; t < t1; t++) {
+    int n0 = snprintf(buf, sizeof buf, "%d: ", pos[t]);
+    out->append(buf, n0);
+    const int32_t* P = parents + (size_t)t * Mn;
+    const double* B = bl + (size_t)t * Mn;
+    const float* E = ne + (size_t)t * Mn;
+    const int32_t* S0 = sb + (size_t)t * Mn;
+    const int32_t* S1 = se + (size_t)t * Mn;
+    for (int n = 0; n < Mn; n++) {
+      int k = snprintf(buf, sizeof buf, "%d:(%.5f %.3f %d %d) ", P[n],
+                       (double)B[n], (double)E[n], S0[n], S1[n]);
+      out->append(buf, k);
+    }
+    out->push_back('\n');
+  }
+}
+
 int rt_write_anc_trees(const char* path, const char* header, long T, int Mn,
                        const int32_t* pos, const int32_t* parents,
                        const double* bl, const float* ne,
@@ -123,20 +149,27 @@ int rt_write_anc_trees(const char* path, const char* header, long T, int Mn,
   FILE* f = fopen(path, "ab");
   if (!f) return -1;
   if (header && header[0]) fputs(header, f);
-  for (long t = 0; t < T; t++) {
-    fprintf(f, "%d: ", pos[t]);
-    const int32_t* P = parents + (size_t)t * Mn;
-    const double* B = bl + (size_t)t * Mn;
-    const float* E = ne + (size_t)t * Mn;
-    const int32_t* S0 = sb + (size_t)t * Mn;
-    const int32_t* S1 = se + (size_t)t * Mn;
-    for (int n = 0; n < Mn; n++) {
-      fprintf(f, "%d:(%.5f %.3f %d %d) ", P[n], B[n], E[n], S0[n], S1[n]);
-    }
-    fputc('\n', f);
+  // snprintf-format tree ranges in parallel (the float formatting is the
+  // bottleneck at 10^4+ trees), then write the buffers in order
+  unsigned hw = std::thread::hardware_concurrency();
+  long nthreads = hw ? (long)hw : 4;
+  if (nthreads > 8) nthreads = 8;
+  if (nthreads > T) nthreads = T > 0 ? T : 1;
+  std::vector<std::string> bufs((size_t)nthreads);
+  std::vector<std::thread> threads;
+  long per = (T + nthreads - 1) / nthreads;
+  for (long i = 0; i < nthreads; i++) {
+    long t0 = i * per, t1 = t0 + per < T ? t0 + per : T;
+    if (t0 >= t1) break;
+    threads.emplace_back(format_tree_range, t0, t1, Mn, pos, parents, bl,
+                         ne, sb, se, &bufs[(size_t)i]);
   }
+  for (auto& th : threads) th.join();
+  int rc = 0;
+  for (auto& b : bufs)
+    if (!b.empty() && fwrite(b.data(), 1, b.size(), f) != b.size()) rc = -2;
   fclose(f);
-  return 0;
+  return rc;
 }
 
 }  // extern "C"

@@ -130,3 +130,33 @@ def test_run_all_sharded_output_identical(tmp_path):
     for ext in (".anc", ".mut"):
         with open(out1 + ext, "rb") as f1, open(out2 + ext, "rb") as f2:
             assert f1.read() == f2.read(), f"{ext} differs under mesh"
+
+
+@needs_8
+def test_sharded_pallas_painter_matches_unsharded(monkeypatch):
+    """The mesh path must run the SAME fused Pallas kernels as the
+    single-device fast path (VERDICT r3 #3: no silent scan-twin fallback).
+    Interpret mode executes the real kernel bodies on CPU; the tiny Dmax
+    bucket keeps the padded interpret rows affordable."""
+    from relate_tpu.core import painting
+    monkeypatch.setenv("RELATE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("RELATE_TPU_PAINT_DMAX_BUCKET", "16")
+    rng = np.random.default_rng(5)
+    N, L = 8, 30
+    G = (rng.random((L, N)) < 0.25).astype(np.uint8)
+    r = np.full(L, 1e-3)
+    model = painting.PaintingModel(N=N, theta=0.001)
+
+    p_ref = painting.Painter(G, r, model)               # pallas, 1 device
+    p_sh = painting.Painter(G, r, model,
+                            mesh=pmesh.default_mesh(8))  # pallas, sharded
+    assert p_ref._use_pallas() and p_sh._use_pallas()
+    cp_r = p_ref.paint_stepping_stones(np.array([0, L]))[0]
+    cp_s = p_sh.paint_stepping_stones(np.array([0, L]))[0]
+    out_ref = p_ref.repaint(cp_r)
+    out_sh = p_sh.repaint(cp_s)
+    np.testing.assert_allclose(np.asarray(out_ref.topology),
+                               np.asarray(out_sh.topology), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_ref.logscale),
+                               np.asarray(out_sh.logscale),
+                               rtol=1e-6, atol=1e-6)

@@ -66,6 +66,15 @@ def _note(msg):
 def _emit():
     with _emit_lock:
         RESULT["bench_wall_s"] = round(time.time() - _t_start, 1)
+        # always include whatever per-stage trace records exist so a
+        # budget-expiry emit still shows the e2e interior
+        try:
+            from relate_tpu.utils import trace
+            if trace.STAGES:
+                RESULT["e2e_stages"] = {
+                    r["stage"]: r["wall_s"] for r in trace.STAGES}
+        except Exception:
+            pass
         print(json.dumps(RESULT), flush=True)
 
 
@@ -205,7 +214,9 @@ def _stages(budget, init_done):
             t0 = time.time()
             relate.run_all(prefix + ".haps", prefix + ".sample",
                            prefix + ".map", os.path.join(d, "out"),
-                           seed=1, verbose=False)
+                           seed=1,
+                           verbose=os.environ.get(
+                               "RELATE_TPU_BENCH_VERBOSE") == "1")
             e2e_s = time.time() - t0
             RESULT["e2e_s"] = round(e2e_s, 1)
             RESULT["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_s, 3)

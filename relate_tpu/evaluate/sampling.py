@@ -63,9 +63,12 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
                           epochs: np.ndarray, rates: np.ndarray,
                           num_samples: int = 100,
                           num_proposals: Optional[int] = None,
-                          seed: int = 1) -> np.ndarray:
+                          seed: int = 1, mesh=None,
+                          mesh_axis: str = "shard") -> np.ndarray:
     """Posterior samples of branch lengths for every tree.
 
+    ``mesh``: optional device mesh — the independent chains (tree batch)
+    are sharded over it, like run_mcmc.
     Returns (num_samples, num_trees, 2N-1) branch lengths in generations.
     """
     trees = [mt.tree for mt in anc.seq]
@@ -84,10 +87,18 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
             outs.append(sample_branch_lengths(
                 sub, muts, dist, mu, epochs, rates,
                 num_samples=num_samples, num_proposals=num_proposals,
-                seed=seed + 7 * (s + 1)))
+                seed=seed + 7 * (s + 1), mesh=mesh, mesh_axis=mesh_axis))
         return np.concatenate(outs, axis=1)
     if num_proposals is None:
         num_proposals = 1000 * int(max(N / 10.0, 10.0))
+    B_real = B
+    if mesh is not None:
+        # pad the chain batch to a device-count multiple (padded chains are
+        # copies of the last tree; their draws are dropped)
+        ndev = int(mesh.devices.size)
+        pad = -B % ndev
+        trees = trees + [trees[-1]] * pad
+        B = len(trees)
     avg_ne, r_norm, e_norm = _normalized_prior(epochs, rates)
     delta = int(max(N / 10.0, 10.0))
     rng = np.random.default_rng(seed)
@@ -119,6 +130,11 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
     coords0 = mcmc._initial_coords_batch(sidx0, N).astype(np.float32)
     state = mcmc.init_chain_state(coords0, order0, sidx0)
 
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+        st = shard_batch(mesh, st, B, mesh_axis)
+        state = shard_batch(mesh, state, B, mesh_axis)
+
     block = mcmc.get_block(N, M, True)
     key = jax.random.PRNGKey(seed)
     # burn-in to convergence (the reference's init=1 converged run,
@@ -141,7 +157,7 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
             selp = p >= 0
             bl[b, selp] = avg_ne * (coords[b, p[selp]] - coords[b, selp])
         out[s] = np.maximum(bl, 0.0)
-    return out
+    return out[:, :B_real]
 
 
 def write_newick_samples(path: str, anc: AncesTree, samples: np.ndarray,

@@ -155,28 +155,74 @@ def compute_freq_lin(anc: AncesTree, muts: List[MutationRecord],
 def log_pvalue(k: int, fk: float, N: int, fN: float,
                logF: np.ndarray) -> float:
     """log10 P(frequency >= fN | N, k, fk) (RelateSelection.cpp:141-178)."""
-    if fk < 2 or k == -1:
-        return 1.0
-    k = int(k)
-    fk = int(fk)
-    fN = int(fN)
-    if not (fN < N and fk < k and fN > 0):
-        return 1.0
-    px = (logF[N - fN - 1] - logF[k - fk - 1] - logF[N - k + fk - fN]
-          + logF[fN - 1] - logF[fk - 1] - logF[fN - fk]
-          - (logF[N - 1] - logF[k - 1] - logF[N - k]))
-    logp = px
-    x = fN - fk
-    y = N - k
+    return float(log_pvalue_batch(np.asarray([k]), np.asarray([fk]), N,
+                                  np.asarray([fN]), logF)[0])
+
+
+def log_pvalue_batch(k: np.ndarray, fk: np.ndarray, N: int, fN: np.ndarray,
+                     logF: np.ndarray,
+                     max_cells: int = 20_000_000) -> np.ndarray:
+    """Vectorized :func:`log_pvalue` over arrays of (k, fk, fN).
+
+    The reference's per-call O(N) tail recursion
+    (RelateSelection.cpp:141-178: ``px += log(...)``, ``logp =
+    logaddexp(logp, px)``) is a logsumexp over ``px(x) = px(x0) +
+    cumsum(log terms)`` — computed here for a whole (SNP x epoch) batch as
+    one (B, maxlen) cumsum + masked logsumexp, chunked so no intermediate
+    exceeds ``max_cells`` floats. Exactly matches the scalar recursion
+    (same term order; the only reassociation is the logsumexp, stable via
+    max-subtraction)."""
+    k = np.asarray(k, dtype=np.int64)
+    fk = np.asarray(fk, dtype=np.int64)
+    fN = np.asarray(fN, dtype=np.int64)
+    out = np.ones(len(k), dtype=np.float64)
+    valid = (fk >= 2) & (k != -1) & (fN < N) & (fk < k) & (fN > 0)
+    if not valid.any():
+        return out
+    kv = k[valid]
+    fkv = fk[valid]
+    fNv = fN[valid]
+    lf = logF
+
+    def at(i):
+        return lf[np.clip(i, 0, len(lf) - 1)]
+
+    px0 = (at(N - fNv - 1) - at(kv - fkv - 1) - at(N - kv + fkv - fNv)
+           + at(fNv - 1) - at(fkv - 1) - at(fNv - fkv)
+           - (at(N - 1) - at(kv - 1) - at(N - kv)))
+    x0 = fNv - fkv
+    y = N - kv
     c = N - 1
-    while x < N - k:
-        var = fk + x
-        px += np.log((y - x) / (x + 1.0) * var / (c - var))
-        logp = np.log(1.0 + np.exp(px - logp)) + logp
-        x += 1
-    if logp > 0.0:
-        logp = 0.0
-    return float(logp / np.log(10))
+    L = y - x0                       # number of recursion terms (>= 0)
+    res = np.empty(len(kv), dtype=np.float64)
+    maxL = int(L.max())
+    chunk = max(1, max_cells // max(maxL, 1))
+    for s in range(0, len(kv), chunk):
+        sl = slice(s, s + chunk)
+        Ls = L[sl]
+        mL = int(Ls.max()) if len(Ls) else 0
+        if mL == 0:
+            res[sl] = px0[sl]
+            continue
+        j = np.arange(mL, dtype=np.int64)[None, :]
+        xs = x0[sl][:, None] + j                      # term evaluated at x
+        in_range = j < Ls[:, None]
+        ys = y[sl][:, None]
+        var = fkv[sl][:, None] + xs
+        num = (ys - xs) * var
+        den = (xs + 1.0) * (c - var)
+        term = np.where(in_range & (num > 0) & (den > 0),
+                        np.log(np.maximum(num, 1e-300))
+                        - np.log(np.maximum(den, 1e-300)), -np.inf)
+        px = px0[sl][:, None] + np.cumsum(term, axis=1)
+        px = np.where(in_range, px, -np.inf)
+        allpx = np.concatenate([px0[sl][:, None], px], axis=1)
+        mx = allpx.max(axis=1, keepdims=True)
+        res[sl] = (mx[:, 0]
+                   + np.log(np.exp(allpx - mx).sum(axis=1)))
+    res = np.minimum(res, 0.0)
+    out[valid] = res / np.log(10)
+    return out
 
 
 def selection_scan(anc: AncesTree, muts: List[MutationRecord],
@@ -188,22 +234,41 @@ def selection_scan(anc: AncesTree, muts: List[MutationRecord],
     logF = np.zeros(N + 1)
     logF[1:] = np.cumsum(np.log(np.arange(1, N + 1)))
     rows = compute_freq_lin(anc, muts, epochs, bp, rsid)
+    # one batched hypergeometric-tail evaluation over every (SNP, epoch)
+    # pair + the two anchors (the per-call scalar loop was O(SNPs*E*N)
+    # host time at genome scale)
+    live = [row for row in rows if row is not None and row["daf"] > 2]
+    E = len(epochs)
+    pv_map = {}
+    if live:
+        ks, fks, fNs = [], [], []
+        for row in live:
+            fN = row["daf"]
+            ks.extend(int(row["lin"][i]) for i in range(E))
+            fks.extend(int(row["freq"][i]) for i in range(E))
+            fNs.extend([fN] * E)
+            ks.append(int(row["lin_when_half"]))
+            fks.append((fN + 1) // 2)
+            fNs.append(fN)
+            ks.append(int(row["lin_when_freq2"]))
+            fks.append(2)
+            fNs.append(fN)
+        flat = log_pvalue_batch(np.asarray(ks), np.asarray(fks), N,
+                                np.asarray(fNs), logF)
+        for i, row in enumerate(live):
+            base = i * (E + 2)
+            pv_map[row["snp"]] = (flat[base: base + E],
+                                  flat[base + E], flat[base + E + 1])
     out = []
     for row in rows:
         if row is None:
             out.append(None)
             continue
-        fN = row["daf"]
-        E = len(row["lin"])
-        if fN <= 2:
+        if row["daf"] <= 2:
             pv = np.ones(E)
             p_half = p_2 = 1.0
         else:
-            pv = np.asarray([log_pvalue(row["lin"][i], row["freq"][i],
-                                        N, fN, logF) for i in range(E)])
-            p_half = log_pvalue(row["lin_when_half"], (fN + 1) // 2,
-                                N, fN, logF)
-            p_2 = log_pvalue(row["lin_when_freq2"], 2, N, fN, logF)
+            pv, p_half, p_2 = pv_map[row["snp"]]
         out.append({"snp": row["snp"], "pos": row["pos"],
                     "rsid": row["rsid"], "pvalues": pv,
                     "p_half": p_half, "p_freq2": p_2})

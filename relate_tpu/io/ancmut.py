@@ -16,6 +16,8 @@ Formats (behavioral reference):
 """
 from __future__ import annotations
 
+import contextlib
+import os
 import struct
 from typing import List, Optional, TextIO, Tuple
 
@@ -31,13 +33,35 @@ from .haps import smart_open
 # binary .anc
 # ---------------------------------------------------------------------------
 
+@contextlib.contextmanager
+def atomic_write(path: str, mode: str = "w"):
+    """Write to a same-directory temp file and ``os.replace`` into place on
+    success: a reader polling for ``path`` (the multi-host barrier,
+    pipeline/relate.py) can never observe a half-written artifact. POSIX
+    rename is atomic within a filesystem; NFS renames are atomic on the
+    server, which is exactly the shared-store case."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    f = open(tmp, mode)
+    try:
+        yield f
+        f.close()
+        os.replace(tmp, path)
+    except BaseException:
+        f.close()
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def write_anc_bin(path: str, anc: AncesTree):
     # per-tree structured-array dump ('<' packed layout, matching the C++
     # packed record stream) — a per-node struct.pack loop costs ~100x at
     # 10^4-tree chunks
     rec = np.dtype([("parent", "<i4"), ("bl", "<f8"), ("ne", "<f4"),
                     ("sb", "<i4"), ("se", "<i4")])
-    with open(path, "wb") as f:
+    with atomic_write(path, "wb") as f:
         has_ages = anc.sample_ages is not None and len(anc.sample_ages) > 0
         f.write(struct.pack("?", has_ages))
         f.write(struct.pack("I", anc.N))
@@ -193,7 +217,7 @@ def read_anc_text(path: str) -> AncesTree:
 # ---------------------------------------------------------------------------
 
 def write_mut_short(path: str, muts: List[MutationRecord]):
-    with open(path, "w") as f:
+    with atomic_write(path, "w") as f:
         f.write("tree_index;branch_index;is_mapping;is_flipped;"
                 "age_of_mutation\n")
         for m in muts:

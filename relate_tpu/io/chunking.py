@@ -202,8 +202,6 @@ class ArtifactStore:
             "plan": asdict(plan),
             "windows": [asdict(w) for w in wplans],
         }
-        with open(self.path("plan.json"), "w") as f:
-            json.dump(meta, f)
         np.savez_compressed(
             self.path("props.npz"),
             rsid=np.asarray(data.rsid), ancestral=np.asarray(data.ancestral),
@@ -219,6 +217,14 @@ class ArtifactStore:
                 rpos=rpos[s:e + 1], state=state[s:e],
                 boundaries=np.asarray(wplans[c].boundaries, dtype=np.int64))
             os.makedirs(self.path(f"chunk_{c}"), exist_ok=True)
+        # plan.json is written LAST and atomically: it doubles as the
+        # "make_chunks complete" sentinel that non-zero hosts poll for
+        # (pipeline/relate.py), so its existence must imply every chunk
+        # artifact above is fully on disk
+        tmp = self.path(f"plan.json.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.path("plan.json"))
         return plan
 
     # -- access ----------------------------------------------------------

@@ -219,6 +219,10 @@ def combine_sections(store: ArtifactStore, c: int):
     ancmut.get_age(anc, muts)
     ancmut.write_anc_bin(store.path(f"chunk_{c}", "combined.anc"), anc)
     ancmut.write_mut_short(store.path(f"chunk_{c}", "combined.mut"), muts)
+    # completion sentinel for the multi-host barrier: written last, after
+    # BOTH combined artifacts are atomically in place
+    with ancmut.atomic_write(store.path(f"chunk_{c}", "DONE")) as f:
+        f.write("ok\n")
 
 
 def post_process_chunk(store: ArtifactStore, c: int, seed: int = 1,
@@ -371,12 +375,29 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
     Finalize merge once all chunk artifacts exist in the shared store."""
     import jax as _jax
     store = ArtifactStore(output + ".tmpdir")
-    n_hosts0 = _jax.process_count()
-    if n_hosts0 > 1 and _jax.process_index() != 0:
+    # host identity: jax.distributed when initialized, else overridable via
+    # env for filesystem-coordinated launches (the reference's cluster
+    # model — one process per host, shared store, no RPC):
+    #   RELATE_TPU_NUM_HOSTS=4 RELATE_TPU_HOST_ID=k python -m
+    #     relate_tpu.pipeline.cli All ... (same output path on all hosts)
+    n_hosts0 = int(os.environ.get("RELATE_TPU_NUM_HOSTS",
+                                  _jax.process_count()))
+    host_id = int(os.environ.get("RELATE_TPU_HOST_ID",
+                                 _jax.process_index()))
+    barrier_timeout = float(os.environ.get("RELATE_TPU_BARRIER_TIMEOUT_S",
+                                           "86400"))
+    if n_hosts0 > 1 and host_id != 0:
         # host 0 plans the chunks; other hosts wait for the shared plan
+        # (plan.json is written atomically and LAST, so its existence
+        # implies all chunk inputs are on disk)
         import time
+        t0 = time.time()
         while not os.path.exists(store.path("plan.json")):
-            time.sleep(1.0)
+            if time.time() - t0 > barrier_timeout:
+                raise TimeoutError(
+                    f"host {host_id}: plan.json did not appear "
+                    f"within {barrier_timeout}s — did host 0 fail?")
+            time.sleep(0.2)
         plan, _ = store.load_plan()
     else:
         plan = make_chunks(haps_path, sample_path, map_path, store.outdir,
@@ -388,8 +409,8 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
     if coal is not None:
         epochs, rates = coal
     from ..utils.trace import stage, summary
-    n_hosts = _jax.process_count()
-    host = _jax.process_index()
+    n_hosts = n_hosts0
+    host = host_id
 
     def _process_chunk(c: int):
         with stage(f"chunk{c}.paint", verbose):
@@ -426,13 +447,28 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
         for c in my_chunks:
             _process_chunk(c)
     if n_hosts > 1:
-        # barrier: wait for every host's chunk artifacts (the shared
-        # filesystem is the reference's own synchronization medium)
+        # barrier: wait for every chunk's DONE sentinel (written atomically
+        # AFTER both combined artifacts — a poller can never read a
+        # half-written combined.anc/.mut), with a timeout so a dead host
+        # fails the run instead of hanging it
         import time
+        t0 = time.time()
+        done = False
         for c in range(plan.num_chunks):
-            while not os.path.exists(store.path(f"chunk_{c}",
-                                                "combined.anc")):
-                time.sleep(1.0)
+            while not os.path.exists(store.path(f"chunk_{c}", "DONE")):
+                # host 0 may have finalized (and cleaned the store) before
+                # this host observed the sentinels: the final output is the
+                # terminal sentinel
+                if os.path.exists(output + ".anc"):
+                    done = True
+                    break
+                if time.time() - t0 > barrier_timeout:
+                    raise TimeoutError(
+                        f"host {host}: chunk {c} DONE sentinel did not "
+                        f"appear within {barrier_timeout}s")
+                time.sleep(0.2)
+            if done:
+                break
         if host != 0:
             return output
     with stage("finalize", verbose):

@@ -353,6 +353,97 @@ def test_run_all_threads_identical(tmp_path, monkeypatch):
         assert a.read() == b.read()
 
 
+def test_run_all_two_host_processes_identical(tmp_path):
+    """The DCN branch of run_all (VERDICT r3 #5): two REAL OS processes,
+    coordinated only through the shared artifact store (host identity via
+    RELATE_TPU_NUM_HOSTS/HOST_ID — the filesystem-launch model replacing
+    the reference's job arrays), must produce the same final .anc/.mut as
+    a single-host run, byte for byte. Host 1 starts FIRST so the
+    plan.json wait (atomic, written last) is actually exercised; chunk
+    overlap constants are shrunk so the panel splits into multiple chunks
+    round-robined across the two hosts."""
+    import subprocess
+    import sys
+    from relate_tpu.io import chunking
+    from relate_tpu.pipeline import relate
+    from relate_tpu.utils.synth import (synth_panel, write_flat_map,
+                                        write_haps_sample)
+    G, bp = synth_panel(8, 600, seed=11)
+    prefix = str(tmp_path / "p")
+    write_haps_sample(G, bp, prefix)
+    write_flat_map(prefix + ".map", int(bp[-1]))
+
+    driver = tmp_path / "host_driver.py"
+    driver.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})\n"
+        "from relate_tpu.io import chunking\n"
+        "from relate_tpu.pipeline import relate\n"
+        "chunking.OVERLAP = 60\n"
+        "chunking.MERGE_DISCARD = 30\n"
+        "relate.MERGE_DISCARD = 30\n"
+        "chunking.MAX_WINDOWS_PER_CHUNK = 4\n"
+        f"relate.run_all({prefix + '.haps'!r}, {prefix + '.sample'!r}, "
+        f"{prefix + '.map'!r}, sys.argv[1], seed=1, verbose=False, "
+        "memory_gb=1e-5)\n")
+
+    out2 = str(tmp_path / "twohost")
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "RELATE_TPU_NUM_HOSTS": "2",
+                "RELATE_TPU_BARRIER_TIMEOUT_S": "600"})
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for host in (1, 0):          # host 1 first: exercises the plan wait
+        e = dict(env)
+        e["RELATE_TPU_HOST_ID"] = str(host)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(driver), out2], env=e,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for p in procs:
+        out, _ = p.communicate(timeout=570)
+        assert p.returncode == 0, out.decode(errors="replace")[-2000:]
+
+    # single-host reference (in-process, same shrunken constants)
+    import contextlib
+    with contextlib.ExitStack() as stack:
+        orig = (chunking.OVERLAP, chunking.MERGE_DISCARD,
+                relate.MERGE_DISCARD, chunking.MAX_WINDOWS_PER_CHUNK)
+        stack.callback(lambda: (setattr(chunking, "OVERLAP", orig[0]),
+                                setattr(chunking, "MERGE_DISCARD", orig[1]),
+                                setattr(relate, "MERGE_DISCARD", orig[2]),
+                                setattr(chunking, "MAX_WINDOWS_PER_CHUNK",
+                                        orig[3])))
+        chunking.OVERLAP = 60
+        chunking.MERGE_DISCARD = 30
+        relate.MERGE_DISCARD = 30
+        chunking.MAX_WINDOWS_PER_CHUNK = 4
+        plan, _ = chunking.plan_chunks_and_windows(G, 1e-5)
+        assert plan.num_chunks > 1   # else host 1 had no work
+        out1 = str(tmp_path / "onehost")
+        relate.run_all(prefix + ".haps", prefix + ".sample",
+                       prefix + ".map", out1, seed=1, verbose=False,
+                       memory_gb=1e-5)
+    for ext in (".anc", ".mut"):
+        with open(out1 + ext, "rb") as a, open(out2 + ext, "rb") as b:
+            assert a.read() == b.read(), f"{ext} differs across hosts"
+
+
+def test_atomic_write_never_exposes_partial(tmp_path):
+    """ancmut.atomic_write must leave either no file or the complete file —
+    never a partial one (the property the multi-host barrier relies on)."""
+    from relate_tpu.io.ancmut import atomic_write
+    target = tmp_path / "artifact.bin"
+    with pytest.raises(RuntimeError):
+        with atomic_write(str(target), "wb") as f:
+            f.write(b"partial")
+            raise RuntimeError("crash mid-write")
+    assert not target.exists()
+    assert not list(tmp_path.glob("artifact.bin.tmp.*"))
+    with atomic_write(str(target), "wb") as f:
+        f.write(b"complete")
+    assert target.read_bytes() == b"complete"
+
+
 def test_crash_recovery_restart_from_stage(panel, tmp_path):
     """Stage-level restartability (the reference's recovery model,
     Relate.cpp:33-35 + Clean.cpp): a staged run equals run_all, and after a

@@ -60,19 +60,24 @@ def test_buildtopology_matches_reference(golden_dir, golden_chunk):
         painter, cps[0], ch.G, ch.rpos, ch.state, ch.bp,
         0, E_SUB, seed=1)
 
+    # measured r4 (CPU XLA merge path, seed 1): tree ratio
+    # 1240/1205 = 1.029, clade agreement 1.000 — thresholds tightened to
+    # well inside the old 0.85-1.15 / 0.70 slack (VERDICT r3 #8) so a
+    # real quality regression fails; the Pallas path differs only in
+    # tie-break draws (seed-level noise)
     hi = E_SUB - MARGIN
     ours_trees = sum(1 for mt in res.anc.seq if mt.pos < hi)
     ref_trees = sum(1 for mt in ref_anc.seq if mt.pos < hi)
     assert ref_trees > 10
     ratio = ours_trees / ref_trees
-    assert 0.85 <= ratio <= 1.15, (ours_trees, ref_trees)
+    assert 0.92 <= ratio <= 1.08, (ours_trees, ref_trees)
 
     ours = _clade_sets(res.anc, res.muts, 0, hi)
     ref = _clade_sets(ref_anc, ref_muts, 0, hi)
     common = set(ours) & set(ref)
     assert len(common) > 0.8 * hi
     agree = sum(1 for s in common if ours[s] == ref[s]) / len(common)
-    assert agree >= 0.70, f"clade agreement {agree:.3f}"
+    assert agree >= 0.78, f"clade agreement {agree:.3f}"
 
 
 @pytest.mark.golden
@@ -98,9 +103,9 @@ def test_run_all_matches_golden(golden_dir, tmp_path):
     ref_mut = ancmut.read_mut_final(str(golden_dir / "golden.mut"))
 
     assert len(ours_mut) == len(ref_mut)
-    # tree count within 10%
+    # tree count within 5% (measured r4: ratio ~0.97; README claims 4%)
     ratio = len(ours_anc.seq) / len(ref_anc.seq)
-    assert 0.90 <= ratio <= 1.10, ratio
+    assert 0.95 <= ratio <= 1.05, ratio
 
     # mutation ages: ratio of means in [0.95, 1.05], log-age corr >= 0.97
     def mid_ages(muts):

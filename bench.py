@@ -80,7 +80,9 @@ def _emit():
 
 def _prewarm_mcmc(N):
     """Compile the MCMC chain programs for the e2e workload's bucket shape
-    (B=1024, M=2N-1) OUTSIDE the timed region: the e2e number measures
+    (B=chain_batch_cap(M) — the SAME bucket run_mcmc pads production
+    slices to; a smaller prewarm bucket would leave the big compile inside
+    the timed region) OUTSIDE the timed region: the e2e number measures
     steady-state pipeline throughput, matching how the paint/treebuild
     stages are warmed (and how the reference binary pays zero compile)."""
     import numpy as np
@@ -103,7 +105,7 @@ def _prewarm_mcmc(N):
     tr.num_events = np.ones(M, np.float32)
     tr.SNP_begin = np.zeros(M, np.int32)
     tr.SNP_end = np.full(M, 100, np.int32)
-    trees = [tr] * 1024
+    trees = [tr] * mcmc.chain_batch_cap(M)
     dist = np.ones(101, np.float64)
     mcmc.run_mcmc(trees, dist, 101, seed=0, max_rounds=1)
 
@@ -228,6 +230,71 @@ def _stages(budget, init_done):
             _emit()
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+    # ---- flagship-scale point: N=2048 paint + treebuild -------------------
+    # (VERDICT r3 #2: a second N point on the FAST path — no silent
+    # fallback: the run records which kernel paths were active)
+    remaining = budget - (time.time() - _t_start)
+    if (os.environ.get("RELATE_TPU_BENCH_N2048", "1") != "0"
+            and remaining > 150.0):
+        from relate_tpu.core import topology_device
+        from relate_tpu.io import chunking
+        N2 = 2048
+        G2, bp2 = synth.synth_panel(N2, L, seed=9)
+        r2 = np.full(L, 2500 * 0.5e-8 * 500)
+        rpos2 = np.cumsum(r2)
+        state2 = np.ones(L, dtype=np.int32)
+        model2 = painting.PaintingModel(N=N2, theta=0.001)
+        painter2 = painting.Painter(G2, r2, model2)
+        RESULT["n2048_paint_pallas"] = bool(painter2._use_pallas())
+        RESULT["n2048_merge_pallas"] = bool(
+            topology_device._pallas_available(N2))
+        # window boundaries from the real 5GB memory model
+        _, wplans = chunking.plan_chunks_and_windows(G2, 5.0)
+        bounds = np.asarray(wplans[0].boundaries)
+        w_len = int(bounds[1] - bounds[0])
+        _note("n2048 panel ready; first window %d SNPs, %d windows"
+              % (w_len, len(bounds) - 1))
+        t0 = time.time()
+        cps2 = painter2.paint_stepping_stones(bounds)
+        out2 = painter2.repaint(cps2[0])
+        float(force(out2.logscale.sum()))
+        stones_s = time.time() - t0
+        t0 = time.time()
+        out2 = painter2.repaint(cps2[0])
+        float(force(out2.logscale.sum()))
+        rep_s = time.time() - t0
+        paint2_snps = w_len / rep_s
+        RESULT["n2048_paint_stones_s_full_chrom"] = round(stones_s, 2)
+        RESULT["n2048_paint_snps_per_s"] = round(paint2_snps, 1)
+        _note("n2048 paint: stones %.1fs (30k SNPs), repaint %.2fs/window "
+              "(%.0f SNPs/s)" % (stones_s, rep_s, paint2_snps))
+        _emit()
+
+        S2 = min(1024, w_len - 1)
+        kern2 = topology_device.make_section_kernel(0.001, N2, L, 1)
+        t0 = time.time()
+        res2 = topology_device.build_topology_section_device(
+            painter2, cps2[0], G2, rpos2, state2, bp2,
+            int(bounds[0]), int(bounds[0]) + S2 - 1, seed=1, kernel=kern2)
+        bt2_s = time.time() - t0
+        # first call includes compile; steady-state is the second call
+        t0 = time.time()
+        res2 = topology_device.build_topology_section_device(
+            painter2, cps2[0], G2, rpos2, state2, bp2,
+            int(bounds[0]), int(bounds[0]) + S2 - 1, seed=1, kernel=kern2)
+        bt2_warm = time.time() - t0
+        RESULT["n2048_treebuild_snps_per_s"] = round(S2 / bt2_warm, 1)
+        RESULT["n2048_treebuild_num_trees"] = len(res2.anc.seq)
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            RESULT["n2048_hbm_peak_mb"] = round(
+                stats.get("peak_bytes_in_use", 0) / 1e6, 1)
+        except Exception:
+            pass
+        _note("n2048 treebuild: %.1fs cold, %.1fs warm (%d SNPs, %d trees)"
+              % (bt2_s, bt2_warm, S2, len(res2.anc.seq)))
+        _emit()
 
 
 def main():

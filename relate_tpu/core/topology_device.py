@@ -170,11 +170,11 @@ def _merge_scan(d0, dcf0, use_cf, threshold, threshold_cf, key):
 
 def _pallas_available(N: int) -> bool:
     try:
-        from ..ops.merge_scan import HAVE_PALLAS
+        from ..ops.merge_scan import HAVE_PALLAS, MAX_N_LARGE
     except Exception:
         return False
     return (HAVE_PALLAS and jax.default_backend() == "tpu"
-            and N <= 1024)
+            and N <= MAX_N_LARGE)
 
 
 _KERNEL_CACHE: dict = {}

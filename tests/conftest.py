@@ -16,6 +16,17 @@ import jax
 # test suite runs locally (the bench runs on real TPU separately).
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: repeated test runs skip recompiles (the CI box
+# has 2 cores; cold compiles dominate suite time otherwise)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import gzip
 import shutil
 from pathlib import Path

@@ -131,6 +131,44 @@ def test_sweeps_match_reference_mixture(use_vp):
         assert abs(s1 - s0) / s0 < 0.2, (sweeps, s0, s1)
 
 
+def _order_position_means(st, cl, cr, sweeps, seed, snapshots, iters_per):
+    """Posterior mean sorted POSITION per internal node (thinned
+    snapshots) — the order-statistics analog of _posterior_moments."""
+    rng = np.random.default_rng(200 + seed)
+    sidx0, order0 = mcmc._initial_orders_batch(cl, cr, N, rng)
+    coords0 = mcmc._initial_coords_batch(sidx0, N).astype(np.float32)
+    s = mcmc.init_chain_state(coords0, order0, sidx0)
+    blk = mcmc._Block(N, M, False, sweeps=sweeps)
+    key = jax.random.PRNGKey(seed)
+    s = blk.run(st, s, key, 400, False)
+    acc = np.zeros((B, M), np.float64)
+    for k in range(snapshots):
+        s = blk.run(st, s, jax.random.fold_in(key, k + 1), iters_per,
+                    False)
+        acc += np.asarray(s.order, np.float64)
+    return (acc / snapshots)[:, N:]
+
+
+def test_order_statistics_match_reference_mixture():
+    """EVENT-ORDER mixing check (the ADVICE r3 concern): posterior mean
+    sorted positions with sweeps on must match the pure single-proposal
+    mixture within MC error — an under-mixed order (chains stuck near
+    their initial linear extension) biases the position means and fails.
+
+    Noise floor measured 2026-08 (CPU, none-vs-none different seeds,
+    these budgets): mean abs position diff 0.11, max 0.55 of 11 internal
+    slots. Thresholds ~3x that floor."""
+    trees = _tree_batch()
+    st, parent, cl, cr = _chain_setup(trees, False)
+    o_none = _order_position_means(st, cl, cr, "none", 1,
+                                   snapshots=120, iters_per=300)
+    o_both = _order_position_means(st, cl, cr, "both", 2,
+                                   snapshots=120, iters_per=50)
+    diff = np.abs(o_both - o_none)
+    assert diff.mean() < 0.35, diff.mean()
+    assert diff.max() < 1.8, diff.max()
+
+
 def test_order_sweep_actually_moves_order():
     """The order sweep must deliver order proposals (cprop counts them)
     and actually change sorted assignments — guards against a silently

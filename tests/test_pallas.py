@@ -51,6 +51,26 @@ def test_merge_scan_pallas_cf_mode_structurally_valid():
     assert clades[-1].sum() == N
 
 
+def test_merge_scan_large_variant_matches_small(monkeypatch):
+    """The HBM-input large-N kernel (same tie-break hash, clades rebuilt
+    off-chip) must produce IDENTICAL merges and clades to the all-VMEM
+    kernel for the same seed — the N>1024 fast path is not a silent
+    approximation (VERDICT r4 #2)."""
+    monkeypatch.delenv("RELATE_TPU_MERGE_LARGE", raising=False)
+    rng = np.random.default_rng(5)
+    N = 48
+    d = rng.random((N, N)).astype(np.float32) * 100
+    np.fill_diagonal(d, 0)
+    dcf = rng.random((N, N)).astype(np.float32) * 100
+    small = merge_scan_pallas(jnp.asarray(d), jnp.asarray(dcf), True,
+                              5.0, 5.0, 13, interpret=True)
+    monkeypatch.setenv("RELATE_TPU_MERGE_LARGE", "1")
+    large = merge_scan_pallas(jnp.asarray(d), jnp.asarray(dcf), True,
+                              5.0, 5.0, 13, interpret=True)
+    for a, b in zip(small, large):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 # ---------------------------------------------------------------------------
 # Painting kernels (ops/paint_kernels.py) vs the lax.scan twin
 # ---------------------------------------------------------------------------

@@ -107,6 +107,30 @@ class Tree:
             return s
         return rec(self.root) + ";"
 
+    def to_nhx(self, properties) -> str:
+        """New Hampshire eXtended string: every node carries an
+        ``[&&NHX:S=<property>]`` tag (Tree::WriteNHX, anc.cpp:213-284;
+        ``properties`` is one string per node)."""
+        if len(properties) != self.num_nodes:
+            raise ValueError("property vector has wrong size")
+
+        def rec(b: int) -> str:
+            if self.child_left[b] < 0:
+                s = str(b)
+            else:
+                s = f"({rec(self.child_left[b])},{rec(self.child_right[b])})"
+            if self.parent[b] >= 0:
+                s += f":{self.branch_length[b]:f}[&&NHX:S={properties[b]}]"
+            return s
+        return rec(self.root) + ";"
+
+    def to_oriented(self) -> str:
+        """Oriented-tree line: ``parent:branch_length`` per node, -1 at
+        the root (Tree::WriteOrientedTree, anc.cpp:287-317)."""
+        return " ".join(
+            f"{int(self.parent[v])}:{self.branch_length[v]:f}"
+            for v in range(self.num_nodes)) + " "
+
 
 def topological_order(parent: np.ndarray) -> np.ndarray:
     """Indices of internal nodes in children-before-parents order."""

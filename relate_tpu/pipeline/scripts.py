@@ -55,7 +55,7 @@ def estimate_population_size(input_prefix: str, output_prefix: str,
                              num_iter: int = 10, seed: int = 1,
                              threshold_frac: float = 0.5,
                              reestimate_final: bool = True,
-                             verbose: bool = True):
+                             verbose: bool = True, mesh=None):
     """EstimatePopulationSize.sh: joint EM over coalescence rates and branch
     lengths; writes <output>.coal (+ by-group pairwise if poplabels) and the
     re-estimated <output>.anc/.mut."""
@@ -73,7 +73,7 @@ def estimate_population_size(input_prefix: str, output_prefix: str,
         else coalrate.default_epochs(years_per_gen)
     epochs, rates, whole = coalrate.estimate_popsize_em(
         anc, recs, dist, mu=mu, epochs=epochs, num_iter=num_iter,
-        seed=seed, group_of_hap=group_of_hap, verbose=verbose)
+        seed=seed, group_of_hap=group_of_hap, verbose=verbose, mesh=mesh)
     coalrate.write_coal(output_prefix + ".coal", epochs, whole, ["0"])
     if verbose:
         # terminal popsize plot (plot.cpp via FinalizePopulationSize.cpp:2)

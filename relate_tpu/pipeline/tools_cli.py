@@ -53,9 +53,19 @@ def _chr_list(args):
     return None
 
 
+def _mesh_of(args):
+    """Device mesh from --devices N (the ICI sharding axis for the EM's
+    psum-reduced statistics and sampled chains); None single-device."""
+    if getattr(args, "devices", 0):
+        from ..parallel.mesh import default_mesh
+        return default_mesh(args.devices)
+    return None
+
+
 def coalescent_rate(args):
     from ..evaluate import coalrate
     from .scripts import estimate_population_size
+    mesh = _mesh_of(args)
     epochs = coalrate.epochs_from_bins(*args.bins, args.years_per_gen) \
         if args.bins else coalrate.default_epochs(args.years_per_gen)
     if args.mode == "EstimatePopulationSize":
@@ -81,7 +91,7 @@ def coalescent_rate(args):
                     group = pl.group_of_haplotype[: anc.N]
                     names = pl.groups
             per_chr.append(coalrate.coalescence_stats(trees, spans, epochs,
-                                                      group))
+                                                      group, mesh=mesh))
         # genome-level sum — the in-memory replacement of the reference's
         # per-chromosome .bin sum (SummarizeCoalescentRateForGenome.cpp:8)
         c, o = coalrate.summarize_for_genome(per_chr)
@@ -117,7 +127,7 @@ def coalescent_rate(args):
                                  years_per_gen=args.years_per_gen,
                                  poplabels_path=args.poplabels,
                                  bins=args.bins, num_iter=args.num_iter,
-                                 seed=args.seed)
+                                 seed=args.seed, mesh=mesh)
     else:
         raise SystemExit(f"unknown mode {args.mode}")
 
@@ -539,6 +549,9 @@ def main(argv=None):
     p.add_argument("--mask")
     p.add_argument("--remove_ids")
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard evaluate/EM tree batches over the first N "
+                        "jax devices (psum-reduced statistics)")
     args = p.parse_args(argv)
     from ..utils.trace import stage
     with stage(f"{args.tool}.{args.mode or 'default'}"):

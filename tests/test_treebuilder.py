@@ -64,3 +64,32 @@ def test_consistency_prior_prefers_previous_clades():
     def clades(t):
         return {tuple(row) for row in t.leaf_matrix()[t.N:]}
     assert clades(tree) == clades(prev)
+
+
+def test_nhx_and_oriented_writers():
+    """NHX carries per-node [&&NHX:S=..] tags (anc.cpp:213-284); oriented
+    format is 'parent:branch_length ' per node, -1 at the root
+    (anc.cpp:287-317)."""
+    d = np.array([
+        [0, 1, 5, 5, 5],
+        [1, 0, 5, 5, 5],
+        [5, 5, 0, 1, 2],
+        [5, 5, 1, 0, 2],
+        [5, 5, 2, 2, 0],
+    ], dtype=np.float32)
+    t = quick_build(d, theta=0.025)
+    t.branch_length[:] = np.arange(t.num_nodes) * 0.5
+    props = [f"p{v}" for v in range(t.num_nodes)]
+    nhx = t.to_nhx(props)
+    assert nhx.endswith(";")
+    # every non-root node is tagged
+    assert nhx.count("[&&NHX:S=") == t.num_nodes - 1
+    assert f"[&&NHX:S=p{int(t.child_left[t.root])}]" in nhx
+    ori = t.to_oriented()
+    parts = ori.split()
+    assert len(parts) == t.num_nodes
+    assert parts[t.root].startswith("-1:")
+    for v in range(t.num_nodes):
+        p, bl = parts[v].split(":")
+        assert int(p) == int(t.parent[v])
+        assert abs(float(bl) - t.branch_length[v]) < 1e-6

@@ -260,6 +260,61 @@ def _rate_integral_bm(st: ChainStatic, t):
     return cum + rt * (t - st.epochs[e]), rt
 
 
+def tree_depths_dev(parent):
+    """(B, M) device twin of :func:`tree_depths` — fixed
+    ceil(log2(M))+1 pointer-doubling rounds of take_along_axis."""
+    import jax.numpy as _jnp
+    B, M = parent.shape
+    d = (parent >= 0).astype(_jnp.int32)
+    iota = _jnp.broadcast_to(_jnp.arange(M, dtype=_jnp.int32), (B, M))
+    j = _jnp.where(parent >= 0, parent, iota)
+    for _ in range(int(np.ceil(np.log2(max(M, 2)))) + 1):
+        d = d + _jnp.take_along_axis(d, j, axis=1)
+        j = _jnp.take_along_axis(j, j, axis=1)
+    return d
+
+
+def device_init_state(parent_d, N: int, seed: int, depth=None):
+    """Initial ChainState built ON DEVICE (contemporary samples).
+
+    The host versions (`_initial_orders_batch` + `_initial_coords_batch` +
+    the cs gather) cost seconds per 4096x511 slice on a small host; here
+    the initial sorted order is (leaves first, then internal nodes by
+    DESCENDING root-depth with random tie-break) — any such order is a
+    linear extension (a parent is strictly shallower than its children),
+    same support as the host init, and it reuses the depth array the gap
+    sweep needs anyway. Initial ages follow the coalescent-prior profile
+    per sorted position (InitializeBranchLengths,
+    branch_length_estimator.cpp:61-136), exactly as the host twin."""
+    B, M = parent_d.shape
+    if depth is None:
+        depth = tree_depths_dev(parent_d)
+    iota = jnp.arange(M, dtype=jnp.int32)[None, :]
+    is_leaf = iota < N
+    tie = jax.random.uniform(jax.random.PRNGKey(seed ^ 0x5BF03A7),
+                             (B, M), minval=0.0, maxval=0.99)
+    keys = jnp.where(is_leaf, -jnp.float32(M + 1) + 0.5,
+                     -(depth.astype(jnp.float32)) + tie)
+    sidx, = jax.lax.sort_key_val(keys, jnp.broadcast_to(iota, (B, M)))[1:]
+    # inverse permutation + position-age profile, both via one sort
+    # lineages entering the p-th sorted event: N at the first coalescence,
+    # then 2N-p (p = N+1..M-1) — same profile as _initial_coords_batch
+    nl_int = np.concatenate([[N], 2 * N - np.arange(N + 1, M)]).astype(
+        np.float64)
+    cur = np.zeros(M, dtype=np.float64)
+    cur[N:] = np.cumsum(2.0 / (nl_int * (nl_int - 1.0)))
+    csvals = jnp.broadcast_to(jnp.asarray(cur, jnp.float32)[None, :],
+                              (B, M))
+    pos = jnp.broadcast_to(iota, (B, M))
+    _, order, coords = jax.lax.sort((sidx, pos, csvals), num_keys=1)
+    return ChainState(
+        coords=coords, order=order, sorted_idx=sidx, cs=csvals,
+        ssum=jnp.zeros((B, M), jnp.float32),
+        scomp=jnp.zeros((B, M), jnp.float32),
+        count=jnp.zeros((B,), jnp.float32),
+        cprop=jnp.zeros((B, M), jnp.int32)), depth
+
+
 def tree_depths(parent: np.ndarray) -> np.ndarray:
     """(B, M) node depths below the root from (B, M) parent arrays
     (pointer doubling: O(log height) gather rounds)."""
@@ -980,7 +1035,7 @@ class _Block:
         # differential, not by the budget conversion.
         self.ppi = 1.0
         if self._sweep is not None:
-            self.ppi += 0.25 * (M - N)
+            self.ppi += 0.5 * (M - N)      # two phases per iteration
         if self._osweep is not None:
             self.ppi += 0.125 * (M - N)
 
@@ -988,12 +1043,19 @@ class _Block:
             s = self._step(st, s, jax.random.fold_in(key, 3 * i),
                            accumulate, active)
             if self._sweep is not None:
-                ku1, ku2 = jax.random.split(jax.random.fold_in(key,
-                                                               3 * i + 1))
-                u1 = jax.random.uniform(ku1, s.coords.shape)
-                u2 = jax.random.uniform(ku2, s.coords.shape)
-                s = self._sweep(st, s, aux, i % 4, u1, u2, active,
-                                accumulate)
+                # two age-sweep phases per iteration — same depth parity,
+                # both position parities — so EVERY internal node of that
+                # depth parity gets one age proposal per iteration
+                # (0.5/node/iter): the >=50-per-node gate fills in ~100
+                # iterations for ~1.35x the per-iteration cost
+                kk = jax.random.fold_in(key, 3 * i + 1)
+                for s_i, ph in enumerate((i % 4, (i % 4) ^ 1)):
+                    ku1, ku2 = jax.random.split(
+                        jax.random.fold_in(kk, s_i))
+                    u1 = jax.random.uniform(ku1, s.coords.shape)
+                    u2 = jax.random.uniform(ku2, s.coords.shape)
+                    s = self._sweep(st, s, aux, ph, u1, u2, active,
+                                    accumulate)
             if self._osweep is not None:
                 ko = jax.random.fold_in(key, 3 * i + 2)
                 uo = jax.random.uniform(ko, s.coords.shape)
@@ -1082,6 +1144,7 @@ class _Block:
 
 
 _BLOCK_CACHE: dict = {}
+_BLOCK_LOCK = __import__("threading").Lock()
 
 
 def get_block(N: int, M: int, use_vp: bool, use_pair: bool = False,
@@ -1093,8 +1156,11 @@ def get_block(N: int, M: int, use_vp: bool, use_pair: bool = False,
     key = (N, M, use_vp, use_pair, use_ages, ROUNDS_PER_SPAN)
     blk = _BLOCK_CACHE.get(key)
     if blk is None:
-        blk = _Block(N, M, use_vp, use_pair, use_ages)
-        _BLOCK_CACHE[key] = blk
+        with _BLOCK_LOCK:       # overlapped slices race get_block
+            blk = _BLOCK_CACHE.get(key)
+            if blk is None:
+                blk = _Block(N, M, use_vp, use_pair, use_ages)
+                _BLOCK_CACHE[key] = blk
     return blk
 
 
@@ -1300,7 +1366,10 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     if len(trees) > max_batch:
         # slice very large tree batches: bounds device memory/program size
         # (the axon TPU runtime falls over above ~4k chains in one
-        # program) and keeps one compiled shape per slice size
+        # program) and keeps one compiled shape per slice size.
+        # (A 2-worker thread pipeline overlapping slice s+1's host prep
+        # with slice s's device run was tried and REVERTED: on a 2-core
+        # host the GIL/CPU contention cost more than the overlap won.)
         outs = []
         for s in range(0, len(trees), max_batch):
             sl = trees[s: s + max_batch]
@@ -1374,8 +1443,10 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     nev = np.stack([t.num_events for t in trees])
     mrate = branch_mut_rates(trees, dist, L, Ne, mu)
 
+    parent_d = jnp.asarray(parent, jnp.int32)
+    depth_d = tree_depths_dev(parent_d)
     st = ChainStatic(
-        parent=jnp.asarray(parent, jnp.int32),
+        parent=parent_d,
         child_left=jnp.asarray(cl, jnp.int32),
         child_right=jnp.asarray(cr, jnp.int32),
         num_events=jnp.asarray(nev, jnp.float32),
@@ -1383,15 +1454,14 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
         kc2_pos=jnp.asarray(kc2, jnp.float32),
         epochs=epochs_d, rates=rates_d, cumR=cumR_d,
         F=F_d, Rg=Rg_d, cumIRg=cumIRg_d,
-        depth=jnp.asarray(tree_depths(parent), jnp.int32))
+        depth=depth_d)
 
     ages_n = None
     if sample_ages is not None and np.any(np.asarray(sample_ages) != 0):
         ages_n = np.asarray(sample_ages, dtype=np.float64) / Ne
 
     if ages_n is None:
-        sidx0, order0 = _initial_orders_batch(cl, cr, N, rng)
-        coords0 = _initial_coords_batch(sidx0, N).astype(np.float32)
+        state, _ = device_init_state(parent_d, N, seed, depth_d)
     else:
         coords0 = np.empty((B, M), dtype=np.float32)
         order0 = np.empty((B, M), dtype=np.int32)
@@ -1401,8 +1471,7 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
             coords0[b] = _initial_coords(si, N, ages_n)
             order0[b] = o
             sidx0[b] = si
-
-    state = init_chain_state(coords0, order0, sidx0)
+        state = init_chain_state(coords0, order0, sidx0)
 
     if mesh is not None:
         from ..parallel.mesh import shard_batch
@@ -1418,11 +1487,18 @@ def run_mcmc(trees: List[Tree], dist: np.ndarray, L: int,
     # (their state and running sums stop updating) while the rest continue,
     # and the only host<->device round-trip per batch is the final download.
     block_steps = max(delta, 128)
+    import time as _time
+    t_dev0 = _time.time()
     state, _rounds, _conv = block.run_to_convergence(
         st, state, key, 50 * delta, block_steps, max_rounds)
 
     final_ssum = np.asarray(state.ssum, dtype=np.float64)
     final_count = np.asarray(state.count, dtype=np.float64)
+    if os.environ.get("RELATE_TPU_TRACE_FINE"):
+        import sys as _sys
+        print(f"[fine]   run_mcmc B={B} M={M}: device+download "
+              f"{_time.time() - t_dev0:.2f}s rounds={_rounds}",
+              file=_sys.stderr)
 
     avg = final_ssum / np.maximum(final_count, 1.0)[:, None]
     pav = np.take_along_axis(avg, np.maximum(parent, 0), axis=1)

@@ -561,14 +561,19 @@ class Painter:
                         interpret=interp)
         bwde0 = _partial(paint_kernels.bwd_pallas, theta=theta,
                          interpret=interp, emit_beta=True)
+        fcap0 = _partial(paint_kernels.fwd_capture_pallas, theta=theta,
+                         interpret=interp)
+        bcap0 = _partial(paint_kernels.bwd_capture_pallas, theta=theta,
+                         interpret=interp)
         if self.mesh is None:
-            fns = (fwd0, bwd0, bwde0)
+            fns = (fwd0, bwd0, bwde0, fcap0, bcap0)
         else:
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.mesh import _shard_map
             ax = self._mesh_axis
             v1 = P(None, ax)
+            vv = P(ax)
             v2 = P(None, None, ax)
             fwd = _shard_map(fwd0, mesh=self.mesh,
                              in_specs=(v1, v1, v1, v2, v1, v1),
@@ -579,7 +584,13 @@ class Painter:
             bwde = _shard_map(bwde0, mesh=self.mesh,
                               in_specs=(v1, v1, v1, v2, v1, v1, v2, v1),
                               out_specs=(v2, v1), check_vma=False)
-            fns = (fwd, bwd, bwde)
+            fcap = _shard_map(fcap0, mesh=self.mesh,
+                              in_specs=(v1, v1, v1, v1, v2, v1, v1),
+                              out_specs=(v1, vv), check_vma=False)
+            bcap = _shard_map(bcap0, mesh=self.mesh,
+                              in_specs=(v1, v1, v1, v1, v2, v1, v1),
+                              out_specs=(v1, vv), check_vma=False)
+            fns = (fwd, bwd, bwde, fcap, bcap)
         self._pk_cache = (theta, fns)
         return fns
 
@@ -721,7 +732,7 @@ class Painter:
         be = self._pad_nb(beta_end, Npad, Bp)
         D2 = prep["D"][None, :]
         theta = float(self.model.theta)
-        fwd_k, bwd_k, _ = self._pallas_fns(theta)
+        fwd_k, bwd_k = self._pallas_fns(theta)[:2]
         alphas, lsf = fwd_k(D2, a0, kmaskT, mismT, pfacm1, nxtm1)
         topo, lstot = bwd_k(D2, be, kmaskT, mismT, pfacp1, nxtp1,
                             alphas, lsf)
@@ -910,12 +921,6 @@ class Painter:
         bsb, bse = self.window_boundary_sites(boundaries)
         theta = float(self.model.theta)
 
-        @jax.jit
-        def extract(arr3, lss, rows):
-            a = jnp.take_along_axis(arr3, rows[None, None, :], axis=0)[0]
-            l = jnp.take_along_axis(lss, rows[None, :], axis=0)[0]
-            return a, l
-
         alphas0: list = [None] * W
         lsa0: list = [None] * W
         betasW: list = [None] * W
@@ -931,13 +936,14 @@ class Painter:
             prep = self._prep_pallas(targets, bsb[w], bse[w])
             pfacm1, nxtm1, _, _ = prep["shifts"]
             a0 = self._pad_nb(alpha, prep["Npad"], prep["Bp"])
-            fwd_k, _, _ = self._pallas_fns(theta)
-            a_all, lsf = fwd_k(prep["D"][None, :], a0, prep["kmaskT"],
-                               prep["mismT"], pfacm1, nxtm1)
+            fcap_k = self._pallas_fns(theta)[3]
             rows = self._rows_of_sites(prep, targets, bsb[w + 1])
             rows_p = np.zeros(prep["Bp"], dtype=np.int64)
             rows_p[:N] = rows
-            av, lv = extract(a_all, lsf, jnp.asarray(rows_p))
+            want = self._shard_last(
+                jnp.asarray(rows_p[None, :], jnp.int32))
+            av, lv = fcap_k(prep["D"][None, :], want, a0, prep["kmaskT"],
+                            prep["mismT"], pfacm1, nxtm1)
             alpha = np.asarray(av).T[:N, : self.N]
             lsa = lsa + np.asarray(lv, dtype=np.float64)[:N]
 
@@ -953,19 +959,16 @@ class Painter:
             prep = self._prep_pallas(targets, bsb[w], bse[w],
                                      final_raw=final_raw)
             pfacm1, nxtm1, pfacp1, nxtp1 = prep["shifts"]
-            a0 = self._pad_nb(alphas0[w], prep["Npad"], prep["Bp"])
             be = self._pad_nb(beta, prep["Npad"], prep["Bp"])
             D2 = prep["D"][None, :]
-            fwd_k, _, bwde_k = self._pallas_fns(theta)
-            a_all, lsf = fwd_k(D2, a0, prep["kmaskT"], prep["mismT"],
-                               pfacm1, nxtm1)
-            beta_all, lsb_all = bwde_k(D2, be, prep["kmaskT"],
-                                       prep["mismT"], pfacp1, nxtp1,
-                                       a_all, lsf)
+            bcap_k = self._pallas_fns(theta)[4]
             rows = self._rows_of_sites(prep, targets, bse[w - 1])
             rows_p = np.zeros(prep["Bp"], dtype=np.int64)
             rows_p[:N] = rows
-            bv, lv = extract(beta_all, lsb_all, jnp.asarray(rows_p))
+            want = self._shard_last(
+                jnp.asarray(rows_p[None, :], jnp.int32))
+            bv, lv = bcap_k(D2, want, be, prep["kmaskT"], prep["mismT"],
+                            pfacp1, nxtp1)
             beta = np.asarray(bv).T[:N, : self.N]
             lsb = lsb + np.asarray(lv, dtype=np.float64)[:N]
 

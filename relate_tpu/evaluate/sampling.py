@@ -125,10 +125,8 @@ def sample_branch_lengths(anc: AncesTree, muts: List[MutationRecord],
         depth=mcmc.tree_depths(parent).astype(np.int32))
     st = jax.tree.map(lambda x: jax.numpy.asarray(x), st)
 
-    sidx0, order0 = mcmc._initial_orders_batch(
-        np.asarray(st.child_left), np.asarray(st.child_right), N, rng)
-    coords0 = mcmc._initial_coords_batch(sidx0, N).astype(np.float32)
-    state = mcmc.init_chain_state(coords0, order0, sidx0)
+    state, _ = mcmc.device_init_state(jax.numpy.asarray(st.parent), N,
+                                      seed, st.depth)
 
     if mesh is not None:
         from ..parallel.mesh import shard_batch

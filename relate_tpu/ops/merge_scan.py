@@ -319,6 +319,10 @@ def _run_large(d, dt, dcf, dcft, use_cf, threshold, threshold_cf, seed, n,
             pltpu.SMEM((Np,), jnp.int32),        # node-id relabel
             pltpu.SemaphoreType.DMA((4,)),       # input DMAs
         ],
+        compiler_params=pltpu.CompilerParams(
+            # 4 NpxNp f32 scratch matrices: 67MB at Np=2048, 105MB at the
+            # 2560 cap — v5e has 128MB physical VMEM
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(iparams, fparams, d, dt, dcf, dcft)
     return cis, cjs
@@ -386,6 +390,10 @@ def _run(d, dcf, use_cf, threshold, threshold_cf, seed, n,
             pltpu.SMEM((Np,), jnp.float32),      # cluster sizes
             pltpu.SMEM((Np,), jnp.int32),        # node-id relabel
         ],
+        compiler_params=pltpu.CompilerParams(
+            # scratch counts against the scoped-VMEM stack: 5 NpxNp f32
+            # matrices at Np=1024 are 20MB; the 16MB default refuses them
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(iparams, fparams, d, d.T, dcf, dcf.T)
     return cis, cjs, clades

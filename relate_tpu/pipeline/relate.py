@@ -78,7 +78,8 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
                    theta: float = 0.001, rho_scale: float = 1.0,
                    mode: int = 1, ancestral_state: bool = True, fb: int = 0,
                    first_section: int = 0,
-                   last_section: Optional[int] = None, mesh=None):
+                   last_section: Optional[int] = None, mesh=None,
+                   cache: Optional[dict] = None):
     """Build per-section tree sequences (pipeline/BuildTopology.cpp).
 
     ``mesh``: optional device mesh; the RePaint target axis is sharded
@@ -98,31 +99,64 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
     # host-driven builder handles sample ages / unknown-ancestral modes
     use_device = ancestral_state and ages is None
     kernel = None
-    for w in range(first_section, last_section + 1):
-        start = bounds[w]
-        end = (bounds[w + 1] - 1) if w < W - 1 else ch.L - 1
-        end = min(end, ch.L - 1)
-        cp = load_checkpoint(store, c, w)
-        if use_device:
-            from ..core import topology_device
-            if kernel is None:
-                kernel = topology_device.make_section_kernel(
-                    theta, ch.N, ch.L, mode)
-            res = topology_device.build_topology_section_device(
-                painter, cp, ch.G, ch.rpos, ch.state, ch.bp,
-                start, end, seed=int(sec_seeds[w]), mode=mode, fb=fb,
-                kernel=kernel)
-        else:
-            res = topology.build_topology_section(
-                painter, cp, ch.G, ch.rpos, ch.state, ch.bp,
-                start, end, seed=int(sec_seeds[w]), mode=mode,
-                ancestral_state=ancestral_state, fb=fb, sample_ages=ages)
+
+    # overlap the host-bound ends of each section (checkpoint npz load,
+    # .anc/.mut writes) with the NEXT section's device build — the
+    # TPU-native replacement for the reference's section job arrays
+    # (RelateParallel.sh:280-396; VERDICT r3 #9). Device dispatches stay
+    # strictly ordered (same seeds, same outputs as the serial loop).
+    from concurrent.futures import ThreadPoolExecutor
+    windows = list(range(first_section, last_section + 1))
+
+    def _persist(w, res):
         res.anc.sample_ages = ages
         ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),
                              res.anc)
         ancmut.get_age(res.anc, res.muts)
         ancmut.write_mut_short(store.path(f"chunk_{c}", f"muts_{w}.mut"),
                                res.muts)
+
+    import time as _time
+    t_dev = 0.0
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cp_futs = {w: pool.submit(load_checkpoint, store, c, w)
+                   for w in windows[:2]}
+        write_futs = []
+        for i, w in enumerate(windows):
+            start = bounds[w]
+            end = (bounds[w + 1] - 1) if w < W - 1 else ch.L - 1
+            end = min(end, ch.L - 1)
+            cp = cp_futs.pop(w).result()
+            if i + 2 < len(windows):
+                nxt = windows[i + 2]
+                cp_futs[nxt] = pool.submit(load_checkpoint, store, c, nxt)
+            t0 = _time.time()
+            if use_device:
+                from ..core import topology_device
+                if kernel is None:
+                    kernel = topology_device.make_section_kernel(
+                        theta, ch.N, ch.L, mode)
+                res = topology_device.build_topology_section_device(
+                    painter, cp, ch.G, ch.rpos, ch.state, ch.bp,
+                    start, end, seed=int(sec_seeds[w]), mode=mode, fb=fb,
+                    kernel=kernel)
+            else:
+                res = topology.build_topology_section(
+                    painter, cp, ch.G, ch.rpos, ch.state, ch.bp,
+                    start, end, seed=int(sec_seeds[w]), mode=mode,
+                    ancestral_state=ancestral_state, fb=fb,
+                    sample_ages=ages)
+            t_dev += _time.time() - t0
+            if cache is not None:
+                cache[("anc", c, w)] = res.anc
+                cache[("muts", c, w)] = res.muts
+            write_futs.append(pool.submit(_persist, w, res))
+        for f in write_futs:
+            f.result()
+    if os.environ.get("RELATE_TPU_TRACE_FINE"):
+        import sys as _sys
+        print(f"[fine] build_topology c{c}: sections {t_dev:.2f}s "
+              f"(io/persist = stage wall minus this)", file=_sys.stderr)
 
 
 def _associate_many(all_trees):
@@ -144,20 +178,36 @@ def _associate_many(all_trees):
     return branch_association_many(all_trees)
 
 
-def find_equivalent_branches(store: ArtifactStore, c: int):
+def find_equivalent_branches(store: ArtifactStore, c: int,
+                             cache: Optional[dict] = None):
     """Associate branches across all adjacent trees of a chunk (incl. window
     boundaries) and propagate events/spans
-    (pipeline/FindEquivalentBranches.cpp)."""
+    (pipeline/FindEquivalentBranches.cpp).
+
+    ``cache``: run_all's in-memory stage handoff — stages still WRITE every
+    artifact (the resume model is unchanged) but skip re-READING what the
+    previous stage just produced."""
     ch = store.load_chunk(c)
     W = ch.windows.num_windows
-    ancs = [ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
-            for w in range(W)]
+    def _get(w):
+        if cache is not None and ("anc", c, w) in cache:
+            return cache[("anc", c, w)]
+        return ancmut.read_anc_bin(store.path(f"chunk_{c}",
+                                              f"trees_{w}.anc"))
+    ancs = [_get(w) for w in range(W)]
     all_trees = [mt.tree for anc in ancs for mt in anc.seq]
     eqs = _associate_many(all_trees)
     associate_trees(all_trees, eqs)
-    for w in range(W):
-        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),
-                             ancs[w])
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(ancmut.write_anc_bin,
+                            store.path(f"chunk_{c}", f"trees_{w}.anc"),
+                            ancs[w]) for w in range(W)]
+        for f in futs:
+            f.result()
+    if cache is not None:
+        for w in range(W):
+            cache[("anc", c, w)] = ancs[w]
 
 
 def infer_branch_lengths(store: ArtifactStore, c: int, Ne: float = 3e4,
@@ -165,7 +215,8 @@ def infer_branch_lengths(store: ArtifactStore, c: int, Ne: float = 3e4,
                          epochs: Optional[np.ndarray] = None,
                          rates: Optional[np.ndarray] = None,
                          first_section: int = 0,
-                         last_section: Optional[int] = None, mesh=None):
+                         last_section: Optional[int] = None, mesh=None,
+                         cache: Optional[dict] = None):
     """Branch-length MCMC per section (pipeline/InferBranchLengths.cpp);
     the per-section tree batch is one vmapped chain batch.
 
@@ -184,20 +235,53 @@ def infer_branch_lengths(store: ArtifactStore, c: int, Ne: float = 3e4,
         rates = rts * avg_ne
         epochs = np.asarray(epochs, dtype=np.float64) / avg_ne
     ages = store.load_sample_ages(ch.N)
-    for w in range(first_section, last_section + 1):
-        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
-        trees = [mt.tree for mt in anc.seq]
-        bl = mcmc.run_mcmc(trees, ch.dist.astype(np.float64), ch.L,
-                           Ne=Ne, mu=mu,
-                           seed=seed + 7919 * (c + 1) + w,
-                           epochs=epochs, rates=rates, sample_ages=ages,
-                           mesh=mesh)
-        for i, mt in enumerate(anc.seq):
-            mt.tree.branch_length = bl[i]
-        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"), anc)
+    # overlap the per-section .anc reads/writes with the (device-bound)
+    # chain batches of neighboring sections (VERDICT r3 #9)
+    from concurrent.futures import ThreadPoolExecutor
+    windows = list(range(first_section, last_section + 1))
+    dist64 = ch.dist.astype(np.float64)
+
+    def _read(w):
+        if cache is not None and ("anc", c, w) in cache:
+            return cache[("anc", c, w)]
+        return ancmut.read_anc_bin(store.path(f"chunk_{c}",
+                                              f"trees_{w}.anc"))
+
+    import time as _time
+    t_mcmc = 0.0
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        read_futs = {w: pool.submit(_read, w) for w in windows[:2]}
+        write_futs = []
+        for i, w in enumerate(windows):
+            anc = read_futs.pop(w).result()
+            if i + 2 < len(windows):
+                nxt = windows[i + 2]
+                read_futs[nxt] = pool.submit(_read, nxt)
+            trees = [mt.tree for mt in anc.seq]
+            t0 = _time.time()
+            bl = mcmc.run_mcmc(trees, dist64, ch.L,
+                               Ne=Ne, mu=mu,
+                               seed=seed + 7919 * (c + 1) + w,
+                               epochs=epochs, rates=rates,
+                               sample_ages=ages, mesh=mesh)
+            t_mcmc += _time.time() - t0
+            for k, mt in enumerate(anc.seq):
+                mt.tree.branch_length = bl[k]
+            if cache is not None:
+                cache[("anc", c, w)] = anc
+            write_futs.append(pool.submit(
+                ancmut.write_anc_bin,
+                store.path(f"chunk_{c}", f"trees_{w}.anc"), anc))
+        for f in write_futs:
+            f.result()
+    if os.environ.get("RELATE_TPU_TRACE_FINE"):
+        import sys as _sys
+        print(f"[fine] infer c{c}: run_mcmc {t_mcmc:.2f}s",
+              file=_sys.stderr)
 
 
-def combine_sections(store: ArtifactStore, c: int):
+def combine_sections(store: ArtifactStore, c: int,
+                     cache: Optional[dict] = None):
     """Splice per-section tree sequences + fill mutation ages
     (pipeline/CombineSections.cpp)."""
     ch = store.load_chunk(c)
@@ -206,10 +290,17 @@ def combine_sections(store: ArtifactStore, c: int):
     muts = []
     ages = None
     for w in range(W):
-        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
+        if cache is not None and ("anc", c, w) in cache:
+            anc = cache[("anc", c, w)]
+        else:
+            anc = ancmut.read_anc_bin(store.path(f"chunk_{c}",
+                                                 f"trees_{w}.anc"))
         ages = anc.sample_ages
-        mshort = ancmut.read_mut_short(store.path(f"chunk_{c}",
-                                                  f"muts_{w}.mut"))
+        if cache is not None and ("muts", c, w) in cache:
+            mshort = cache[("muts", c, w)]
+        else:
+            mshort = ancmut.read_mut_short(store.path(f"chunk_{c}",
+                                                      f"muts_{w}.mut"))
         off = len(seq)
         for m in mshort:
             m.tree += off
@@ -217,6 +308,8 @@ def combine_sections(store: ArtifactStore, c: int):
         muts.extend(mshort)
     anc = AncesTree(N=ch.N, seq=seq, sample_ages=ages)
     ancmut.get_age(anc, muts)
+    if cache is not None:
+        cache[("combined", c)] = (anc, muts)
     ancmut.write_anc_bin(store.path(f"chunk_{c}", "combined.anc"), anc)
     ancmut.write_mut_short(store.path(f"chunk_{c}", "combined.mut"), muts)
     # completion sentinel for the multi-host barrier: written last, after
@@ -260,7 +353,8 @@ def _read_annot(path: str):
 
 
 def finalize(store: ArtifactStore, output: str, cleanup: bool = False,
-             annot_path: Optional[str] = None):
+             annot_path: Optional[str] = None,
+             cache: Optional[dict] = None):
     """Merge chunks dropping half-overlaps, write final text .anc/.mut
     (pipeline/Finalize.cpp:107-290). With ``annot_path``, each kept SNP's
     annotation row is appended to its .mut line and the annot header to the
@@ -288,8 +382,13 @@ def finalize(store: ArtifactStore, output: str, cleanup: bool = False,
     for c in range(plan.num_chunks):
         start_chunk = plan.start[c]
         end_chunk = plan.end[c]
-        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", "combined.anc"))
-        muts = ancmut.read_mut_short(store.path(f"chunk_{c}", "combined.mut"))
+        if cache is not None and ("combined", c) in cache:
+            anc, muts = cache[("combined", c)]
+        else:
+            anc = ancmut.read_anc_bin(store.path(f"chunk_{c}",
+                                                 "combined.anc"))
+            muts = ancmut.read_mut_short(store.path(f"chunk_{c}",
+                                                    "combined.mut"))
         sample_ages = anc.sample_ages
         ov = MERGE_DISCARD if c > 0 else 0
         if plan.num_chunks > 1 and c + 1 != plan.num_chunks:
@@ -412,23 +511,37 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
     n_hosts = n_hosts0
     host = host_id
 
+    # run-level handoff for Finalize's combined-artifact reads — bounded:
+    # only kept for small chunk counts (each entry holds a whole chunk's
+    # trees in memory; at many-chunk genome scale finalize re-reads)
+    fin_cache: Optional[dict] = {} if plan.num_chunks <= 2 else None
+
     def _process_chunk(c: int):
+        # in-memory stage handoff: every artifact is still written (the
+        # resume model is unchanged) but the next stage skips re-reading
+        # what the previous stage just produced in this process
+        cache: dict = {} if fin_cache is None else fin_cache
         with stage(f"chunk{c}.paint", verbose):
             paint(store, c, theta, rho_scale=rho_scale, mesh=mesh)
         with stage(f"chunk{c}.build_topology", verbose):
             build_topology(store, c, seed=seed, theta=theta,
-                           rho_scale=rho_scale, mesh=mesh)
+                           rho_scale=rho_scale, mesh=mesh, cache=cache)
         with stage(f"chunk{c}.find_equivalent_branches", verbose):
-            find_equivalent_branches(store, c)
+            find_equivalent_branches(store, c, cache=cache)
         if postprocess:
             with stage(f"chunk{c}.post_process", verbose):
+                # post_process_chunk works on the on-disk artifacts;
+                # invalidate the handoff so the re-association below
+                # re-reads its output
+                cache.clear()
                 post_process_chunk(store, c, seed=seed)
-                find_equivalent_branches(store, c)
+                find_equivalent_branches(store, c, cache=cache)
         with stage(f"chunk{c}.infer_branch_lengths", verbose):
             infer_branch_lengths(store, c, Ne=Ne, mu=mu, seed=seed,
-                                 epochs=epochs, rates=rates, mesh=mesh)
+                                 epochs=epochs, rates=rates, mesh=mesh,
+                                 cache=cache)
         with stage(f"chunk{c}.combine_sections", verbose):
-            combine_sections(store, c)
+            combine_sections(store, c, cache=cache)
 
     # chunks owned by this host (others are filesystem-shared, as in the
     # reference's job arrays)
@@ -473,7 +586,7 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
             return output
     with stage("finalize", verbose):
         nnm, nfl = finalize(store, output, cleanup=cleanup,
-                            annot_path=annot_path)
+                            annot_path=annot_path, cache=fin_cache)
     if verbose:
         print(f"[relate] Number of not mapping SNPs: {nnm}")
         print(f"[relate] Number of flipped SNPs    : {nfl}")

@@ -241,26 +241,31 @@ def _stages(budget, init_done):
         from relate_tpu.io import chunking
         N2 = 2048
         G2, bp2 = synth.synth_panel(N2, L, seed=9)
-        r2 = np.full(L, 2500 * 0.5e-8 * 500)
+        # window boundaries from the real memory model at --memory 1GB:
+        # the padded (Dmax, N, B) posterior of a 5GB window exceeds HBM at
+        # N=2048 (the reference's own --memory knob is the control).
+        # The workload is TRUNCATED to the first 9 windows (~4.4k SNPs) —
+        # the chained checkpoint sweeps are per-window work, so the
+        # per-SNP rate is representative while fitting the bench budget
+        # (the final window always extends to the panel end, so a longer
+        # panel would give the subset one huge window).
+        _, wplans = chunking.plan_chunks_and_windows(G2, 1.0)
+        bounds_all = np.asarray(wplans[0].boundaries)
+        bounds = bounds_all[: min(10, len(bounds_all))]
+        L2 = int(bounds[-1])
+        G2 = G2[:L2]
+        bp2 = bp2[:L2]
+        r2 = np.full(L2, 2500 * 0.5e-8 * 500)
         rpos2 = np.cumsum(r2)
-        state2 = np.ones(L, dtype=np.int32)
+        state2 = np.ones(L2, dtype=np.int32)
         model2 = painting.PaintingModel(N=N2, theta=0.001)
         painter2 = painting.Painter(G2, r2, model2)
         RESULT["n2048_paint_pallas"] = bool(painter2._use_pallas())
         RESULT["n2048_merge_pallas"] = bool(
             topology_device._pallas_available(N2))
-        # window boundaries from the real memory model at --memory 1GB:
-        # the padded (Dmax, N, B) posterior of a 5GB window exceeds HBM at
-        # N=2048 (the reference's own --memory knob is the control).
-        # Stones run over the first 9 windows (~4.4k SNPs) — the chained
-        # checkpoint sweeps are per-window work, so the per-SNP rate is
-        # representative while fitting the driver's bench budget.
-        _, wplans = chunking.plan_chunks_and_windows(G2, 1.0)
-        bounds_all = np.asarray(wplans[0].boundaries)
-        bounds = bounds_all[: min(10, len(bounds_all))]
         w_len = int(bounds[1] - bounds[0])
-        _note("n2048 panel ready; first window %d SNPs, %d of %d windows"
-              % (w_len, len(bounds) - 1, len(bounds_all) - 1))
+        _note("n2048 panel ready; first window %d SNPs, %d of %d windows "
+              "(L2=%d)" % (w_len, len(bounds) - 1, len(bounds_all) - 1, L2))
         def _hbm():
             try:
                 st = jax.local_devices()[0].memory_stats() or {}
@@ -288,14 +293,15 @@ def _stages(budget, init_done):
             stones_snps / stones_s, 1)
         RESULT["n2048_paint_snps_per_s"] = round(paint2_snps, 1)
         _note("n2048 paint: stones %.1fs (%d SNPs), repaint %.2fs/window "
-              "(%.0f SNPs/s)" % (stones_s, stones_snps, paint2_snps))
+              "(%.0f SNPs/s)" % (stones_s, stones_snps, rep_s,
+                                 paint2_snps))
         _emit()
 
         del out2     # the section build repaints internally; holding the
         #              bench copy alongside it would double the ~4GB
         #              posterior in HBM
         S2 = min(1024, w_len - 1)
-        kern2 = topology_device.make_section_kernel(0.001, N2, L, 1)
+        kern2 = topology_device.make_section_kernel(0.001, N2, L2, 1)
         t0 = time.time()
         res2 = topology_device.build_topology_section_device(
             painter2, cps2[0], G2, rpos2, state2, bp2,

@@ -320,9 +320,10 @@ def _run_large(d, dt, dcf, dcft, use_cf, threshold, threshold_cf, seed, n,
             pltpu.SemaphoreType.DMA((4,)),       # input DMAs
         ],
         compiler_params=pltpu.CompilerParams(
-            # 4 NpxNp f32 scratch matrices: 67MB at Np=2048, 105MB at the
-            # 2560 cap — v5e has 128MB physical VMEM
-            vmem_limit_bytes=112 * 1024 * 1024),
+            # 4 NpxNp f32 scratch matrices (67MB at Np=2048) plus ~47MB
+            # of step-body stack temporaries (measured 113.97M at 2048);
+            # v5e has 128MB physical VMEM
+            vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
     )(iparams, fparams, d, dt, dcf, dcft)
     return cis, cjs
@@ -401,9 +402,12 @@ def _run(d, dcf, use_cf, threshold, threshold_cf, seed, n,
 
 # beyond this N the all-VMEM kernel (12 N^2 floats incl. inputs, clade
 # sets and output) no longer fits v5e's 128MB VMEM; the large variant
-# (4 N^2 floats) takes over up to MAX_N_LARGE
+# (4 N^2 f32 scratch + ~50MB of step-body stack temporaries, measured)
+# takes over up to MAX_N_LARGE = 2048. N=2560 would need ~155MB — the
+# next step is bf16 CF matrices (halving two scratch buffers), not yet
+# taken because bf16 rounds the clade-prior threshold comparisons.
 MAX_N_SMALL = 1024
-MAX_N_LARGE = 2560
+MAX_N_LARGE = 2048
 
 
 def merge_scan_pallas(d, dcf, use_cf, threshold, threshold_cf, seed,

@@ -352,6 +352,33 @@ def branch_association_reference(ref_tree: Tree, tree: Tree) -> np.ndarray:
     return eq
 
 
+def associate_forward(trees: List[Tree], equivalences: List[np.ndarray]):
+    """Forward half of AssociateTrees (anc_builder.cpp:658-737): accumulate
+    events and earliest SNP_begin along equivalence chains. ``trees`` is any
+    CONSECUTIVE run of marginal trees; ``equivalences[t]`` maps branches of
+    trees[t+1] to trees[t]. Streamable: a later call whose first tree is the
+    last tree of an earlier call continues the same sweep."""
+    for t in range(len(trees) - 1):
+        eq = equivalences[t]
+        prev, cur = trees[t], trees[t + 1]
+        idx = np.nonzero(eq != -1)[0]
+        cur.num_events[idx] += prev.num_events[eq[idx]]
+        cur.SNP_begin[idx] = prev.SNP_begin[eq[idx]]
+
+
+def associate_backward(trees: List[Tree], equivalences: List[np.ndarray]):
+    """Backward half of AssociateTrees (anc_builder.cpp:739-818): copy the
+    accumulated events and latest SNP_end back down the chains. Streamable
+    in REVERSE window order (a later call whose last tree is the first tree
+    of an earlier call continues the sweep)."""
+    for t in range(len(trees) - 2, -1, -1):
+        eq = equivalences[t]
+        prev, cur = trees[t], trees[t + 1]
+        idx = np.nonzero(eq != -1)[0]
+        prev.num_events[eq[idx]] = cur.num_events[idx]
+        prev.SNP_end[eq[idx]] = cur.SNP_end[idx]
+
+
 def associate_trees(trees: List[Tree], equivalences: List[np.ndarray]):
     """Propagate num_events / SNP spans through equivalent-branch chains
     (AssociateTrees, anc_builder.cpp:658-818).
@@ -361,19 +388,5 @@ def associate_trees(trees: List[Tree], equivalences: List[np.ndarray]):
     """
     n = len(trees)
     assert len(equivalences) == n - 1
-    # forward: accumulate events and earliest SNP_begin
-    for t in range(n - 1):
-        eq = equivalences[t]
-        prev, cur = trees[t], trees[t + 1]
-        sel = eq != -1
-        idx = np.nonzero(sel)[0]
-        cur.num_events[idx] += prev.num_events[eq[idx]]
-        cur.SNP_begin[idx] = prev.SNP_begin[eq[idx]]
-    # backward: copy back accumulated events and latest SNP_end
-    for t in range(n - 2, -1, -1):
-        eq = equivalences[t]
-        prev, cur = trees[t], trees[t + 1]
-        sel = eq != -1
-        idx = np.nonzero(sel)[0]
-        prev.num_events[eq[idx]] = cur.num_events[idx]
-        prev.SNP_end[eq[idx]] = cur.SNP_end[idx]
+    associate_forward(trees, equivalences)
+    associate_backward(trees, equivalences)

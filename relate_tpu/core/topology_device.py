@@ -170,11 +170,11 @@ def _merge_scan(d0, dcf0, use_cf, threshold, threshold_cf, key):
 
 def _pallas_available(N: int) -> bool:
     try:
-        from ..ops.merge_scan import HAVE_PALLAS, MAX_N_LARGE
+        from ..ops.merge_scan import HAVE_PALLAS, MAX_N_INC
     except Exception:
         return False
     return (HAVE_PALLAS and jax.default_backend() == "tpu"
-            and N <= MAX_N_LARGE)
+            and N <= MAX_N_INC)
 
 
 _KERNEL_CACHE: dict = {}

@@ -405,11 +405,12 @@ def _run(d, dcf, use_cf, threshold, threshold_cf, seed, n,
 # beyond this N the all-VMEM kernel (12 N^2 floats incl. inputs, clade
 # sets and output) no longer fits v5e's 128MB VMEM; the large variant
 # (4 N^2 f32 scratch + ~50MB of step-body stack temporaries, measured)
-# takes over up to MAX_N_LARGE = 2048. N=2560 would need ~155MB — the
-# next step is bf16 CF matrices (halving two scratch buffers), not yet
-# taken because bf16 rounds the clade-prior threshold comparisons.
+# takes over up to MAX_N_LARGE = 2048. Beyond THAT, the HBM-resident
+# incremental kernel (ops/merge_scan_inc.py) removes the VMEM wall
+# entirely AND drops per-step work from O(N^2) to amortized O(N).
 MAX_N_SMALL = 1024
 MAX_N_LARGE = 2048
+MAX_N_INC = 16384
 
 
 def merge_scan_pallas(d, dcf, use_cf, threshold, threshold_cf, seed,
@@ -421,10 +422,22 @@ def merge_scan_pallas(d, dcf, use_cf, threshold, threshold_cf, seed,
 
     N <= 1024 runs the all-VMEM kernel; 1024 < N <= 2048 the HBM-input
     variant with off-chip clade reconstruction (same semantics, same
-    tie-break hash — outputs are interchangeable).
+    tie-break hash — outputs are interchangeable); N > 2048 (or
+    RELATE_TPU_MERGE_INC=1) the incremental HBM-resident kernel
+    (ops/merge_scan_inc.py — amortized O(N)/step, stale-CF semantics per
+    the reference, its module docstring documents the deviations).
     """
     import os
     N = d.shape[0]
+    if (N > MAX_N_LARGE
+            or os.environ.get("RELATE_TPU_MERGE_INC") == "1"):
+        if N > MAX_N_INC:
+            raise ValueError(
+                f"merge scan supports N <= {MAX_N_INC} (got {N})")
+        from .merge_scan_inc import merge_scan_incremental
+        return merge_scan_incremental(d, dcf, use_cf, threshold,
+                                      threshold_cf, seed,
+                                      interpret=interpret)
     Np = _pad128(N)
     if Np != N:
         pad = ((0, Np - N), (0, Np - N))
@@ -433,9 +446,6 @@ def merge_scan_pallas(d, dcf, use_cf, threshold, threshold_cf, seed,
     use_large = (N > MAX_N_SMALL
                  or os.environ.get("RELATE_TPU_MERGE_LARGE") == "1")
     if use_large:
-        if N > MAX_N_LARGE:
-            raise ValueError(
-                f"merge scan supports N <= {MAX_N_LARGE} (got {N})")
         d = jnp.asarray(d, jnp.float32)
         dcf = jnp.asarray(dcf, jnp.float32)
         cis, cjs = _run_large(

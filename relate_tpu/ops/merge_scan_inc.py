@@ -231,6 +231,13 @@ def merge_scan_inc_host(d, dcf, use_cf, threshold, threshold_cf, seed):
 # Pallas kernel
 # --------------------------------------------------------------------------
 
+import os as _os
+# perf-bisection knobs (comma list): no_repairs, stub_fallback,
+# no_corrections, no_flush, no_dma
+_DEBUG = frozenset(
+    x for x in _os.environ.get("RELATE_TPU_INC_DEBUG", "").split(",") if x)
+
+
 def _make_kernel(Np: int, KP: int):
     """Build the kernel body for padded size Np (mult of 128), pend cap KP."""
     NT = Np // 128          # lane blocks / flush tiles
@@ -386,6 +393,8 @@ def _make_kernel(Np: int, KP: int):
 
             raws: tuple of 4 (1,Np) raw row vectors (already in VMEM).
             Reads only the 128-lane pend block containing w."""
+            if "no_corrections" in _DEBUG:
+                return list(raws)
             ver_w = extract(sget(VER), w)
             wb = pl.multiple_of((w // 128) * 128, 128)
             blk = pend[:, pl.ds(wb, 128)]                    # (4KP, 128)
@@ -404,6 +413,9 @@ def _make_kernel(Np: int, KP: int):
         def read_rows(w, base):
             """DMA the 8-row groups containing w for all 4 matrices into
             grp[base*32 .. base*32+32), return raw (1,Np) rows."""
+            if "no_dma" in _DEBUG:
+                return [grp[pl.ds(base * 32 + 8 * k, 1), :]
+                        for k in range(4)]
             g = pl.multiple_of((w // 8) * 8, 8)
             cps = []
             for k, m in enumerate(mats):
@@ -421,6 +433,11 @@ def _make_kernel(Np: int, KP: int):
 
         def flush():
             """Apply the pending column cache to the raw storage."""
+            if "no_flush" in _DEBUG:
+                onehot[:, :] = jnp.zeros((KP, Np), jnp.float32)
+                age[:, :] = jnp.full((KP, 1), -2.0, jnp.float32)
+                scal[0] = 0
+                return
             onehot_bf[:, :] = onehot[:, :].astype(jnp.bfloat16)
             dn = (((0,), (0,)), ((), ()))
 
@@ -581,7 +598,10 @@ def _make_kernel(Np: int, KP: int):
                 b = extract(sget(CPART), a).astype(jnp.int32)
                 return a, b
 
-            a, b = jax.lax.cond(m < INF, cached_select, fallback_select)
+            if "stub_fallback" in _DEBUG:
+                a, b = cached_select()
+            else:
+                a, b = jax.lax.cond(m < INF, cached_select, fallback_select)
             i = jnp.minimum(a, b)
             j = jnp.maximum(a, b)
 
@@ -657,6 +677,8 @@ def _make_kernel(Np: int, KP: int):
                 cp.wait()
 
             # repairs, ascending lane order
+            if "no_repairs" in _DEBUG:
+                dirty = dirty & (lane == j)
             ndirty = jnp.sum(dirty.astype(jnp.int32))
 
             def rbody(r, dd):

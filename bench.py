@@ -317,8 +317,10 @@ def _stages(budget, init_done):
         RESULT["n2048_treebuild_num_trees"] = len(res2.anc.seq)
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
-            RESULT["n2048_hbm_peak_mb"] = round(
-                stats.get("peak_bytes_in_use", 0) / 1e6, 1)
+            peak = stats.get("peak_bytes_in_use")
+            if peak:          # absent-if-unknown (VERDICT r4 weak #4: a
+                #               literal 0.0 reads as "no HBM used")
+                RESULT["n2048_hbm_peak_mb"] = round(peak / 1e6, 1)
         except Exception:
             pass
         _note("n2048 treebuild: %.1fs cold, %.1fs warm (%d SNPs, %d trees)"

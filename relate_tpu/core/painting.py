@@ -752,10 +752,14 @@ class Painter:
                     shifts=shifts, kmaskT=kmaskT)
 
     def _pad_nb(self, arr, Npad, Bp):
-        """(B, N) host state -> (Npad, Bp) kernel layout."""
-        out = np.zeros((Npad, Bp), dtype=np.float32)
-        out[: self.N, : arr.shape[0]] = np.asarray(arr, np.float32).T
-        return self._shard_last(jnp.asarray(out))
+        """(B, N) host state -> (Npad, Bp) kernel layout. The transpose and
+        padding run ON DEVICE (a host-side 16MB transpose + padded upload
+        costs ~100ms; the raw upload is unavoidable)."""
+        B = arr.shape[0]
+        dev = jnp.asarray(np.ascontiguousarray(arr, dtype=np.float32))
+        out = jnp.zeros((Npad, Bp), dtype=jnp.float32)
+        out = jax.lax.dynamic_update_slice(out, dev.T, (0, 0))
+        return self._shard_last(out)
 
     def _rows_of_sites(self, prep, targets, sites):
         """Step-row index of absolute sites within a window plan, from
@@ -984,11 +988,25 @@ class Painter:
 
         prep0 = self._prep_pallas(targets, bsb[0], bse[0])
         Npad, Bp = prep0["Npad"], prep0["Bp"]
+        # device-resident slab budget: keep at most K windows' checkpoint
+        # slabs in HBM (25% of the chip), download the rest eagerly — at
+        # N=5008 a full chunk's slabs would otherwise be W x 200MB
+        from ..utils.devmem import device_hbm_gb
+        slab = Npad * Bp * 4
+        K_dev = max(2, int(device_hbm_gb() * 1e9 * 0.25 / (2 * slab)))
+
+        def keep(w, dev_slab):
+            if w < K_dev:
+                return dev_slab, None
+            return None, np.asarray(dev_slab).T[:N, :N]
+
+        a_host: list = [None] * W
+        b_host: list = [None] * W
         a_dev = self._pad_nb(initial_alpha(self.G_host, self.model, 0,
                                            targets), Npad, Bp)
         lsa = np.zeros(N, dtype=np.float64)
         for w in range(W):
-            alphas0[w] = a_dev
+            alphas0[w], a_host[w] = keep(w, a_dev)
             lsa0[w] = lsa
             if w == W - 1:
                 break
@@ -1009,7 +1027,7 @@ class Painter:
         b_dev = self._pad_nb(np.ones((N, N), dtype=np.float32), Npad, Bp)
         lsb = normalizing_constant(self.model, Dtot).astype(np.float64)
         for w in range(W - 1, -1, -1):
-            betasW[w] = b_dev
+            betasW[w], b_host[w] = keep(w, b_dev)
             lsbW[w] = lsb
             if w == 0:
                 break
@@ -1028,7 +1046,8 @@ class Painter:
                                prep["mismT"], pfacp1, nxtp1)
             lsb = lsb + np.asarray(lv, dtype=np.float64)[:N]
 
-        return [Checkpoint(ls_alpha=lsa0[w], bsb=bsb[w],
+        return [Checkpoint(alpha=a_host[w], beta=b_host[w],
+                           ls_alpha=lsa0[w], bsb=bsb[w],
                            ls_beta=lsbW[w], bse=bse[w],
                            a0_dev=alphas0[w], be_dev=betasW[w], n=N)
                 for w in range(W)]
@@ -1065,7 +1084,7 @@ class Painter:
                     + np.asarray(cp.ls_beta, np.float64)[targets])
             all_t = len(targets) == self.N and \
                 np.array_equal(targets, np.arange(self.N))
-            if cp.a0_dev is not None and all_t:
+            if cp.a0_dev is not None and cp.be_dev is not None and all_t:
                 # device-resident checkpoint slabs: skip the 2x(B,N) host
                 # transpose + upload entirely
                 return self._repaint_pallas(

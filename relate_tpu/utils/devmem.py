@@ -44,10 +44,11 @@ def auto_memory_gb() -> float:
     """Window-planner budget derived from real device memory.
 
     The planner's budget counts 4-byte posterior floats (the reference's
-    model); on device a window additionally holds the int8 mismatch
-    stream and the forward rows (~9 bytes per posterior float) and the
-    bench holds two posteriors transiently — measured at N=2048, a 1.0 GB
-    budget peaks ~10 GB of HBM. budget = HBM/10 keeps the peak under the
-    chip's memory with headroom for the merge matrices and checkpoints.
+    model); on device a window holds ~9 bytes per posterior cell (int8
+    mismatch stream + f32 forward rows + f32 posterior), the step axis is
+    padded to the max-derived target and a power-of-two bucket (~1.3-2x),
+    and two posteriors can be live transiently. budget = HBM/20 keeps the
+    measured peak under ~40% of the chip with headroom for the merge
+    matrices and device-resident checkpoint slabs (N=5008 OOM'd at /10).
     """
-    return max(0.5, min(5.0, device_hbm_gb() / 10.0))
+    return max(0.25, min(5.0, device_hbm_gb() / 20.0))

@@ -86,11 +86,16 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
                    cache: Optional[dict] = None):
     """Build per-section tree sequences (pipeline/BuildTopology.cpp).
 
-    ``mesh``: optional device mesh; the RePaint target axis is sharded
-    over it (the section merge scan itself is sequential per window)."""
+    ``mesh``: optional device mesh. Sections (windows) are INDEPENDENT
+    work units — each builds its tree sequence from its own checkpoint —
+    so with a mesh they are dispatched whole-section-per-device round-
+    robin over the mesh's devices (SURVEY §2.5's "windows over ICI";
+    the reference's job arrays, Relate.cpp:95-115). Outputs are
+    placement-independent (per-section seeds), so the parallel path is
+    byte-identical to the serial one. Set RELATE_TPU_SECTION_PARALLEL=0
+    to fall back to sharding the RePaint target axis instead."""
     ch = store.load_chunk(c)
     model = painting.PaintingModel(N=ch.N, theta=theta)
-    painter = painting.Painter(ch.G, ch.r * rho_scale, model, mesh=mesh)
     bounds = ch.windows.boundaries
     W = len(bounds) - 1
     if last_section is None:
@@ -103,6 +108,17 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
     # host-driven builder handles sample ages / unknown-ancestral modes
     use_device = ancestral_state and ages is None
     kernel = None
+
+    sec_par = (mesh is not None and use_device
+               and os.environ.get("RELATE_TPU_SECTION_PARALLEL", "1") != "0"
+               and int(mesh.devices.size) > 1
+               and (last_section - first_section + 1)
+               >= int(mesh.devices.size))
+    if sec_par:
+        return _build_topology_section_parallel(
+            store, c, ch, model, bounds, W, first_section, last_section,
+            sec_seeds, mesh, theta, rho_scale, mode, fb, ages, cache)
+    painter = painting.Painter(ch.G, ch.r * rho_scale, model, mesh=mesh)
 
     # overlap the host-bound ends of each section (checkpoint npz load,
     # .anc/.mut writes) with the NEXT section's device build — the
@@ -167,6 +183,75 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
         import sys as _sys
         print(f"[fine] build_topology c{c}: sections {t_dev:.2f}s "
               f"(io/persist = stage wall minus this)", file=_sys.stderr)
+
+
+def _build_topology_section_parallel(store, c, ch, model, bounds, W,
+                                     first_section, last_section, sec_seeds,
+                                     mesh, theta, rho_scale, mode, fb, ages,
+                                     cache):
+    """Whole-section-per-device dispatch over the mesh's devices.
+
+    Each device gets its own replicated panel (Painter) and processes its
+    round-robin share of sections concurrently (one host thread per
+    device; device work overlaps across devices, host reconstitution
+    overlaps via the threads). Same per-section seeds as the serial path
+    => identical artifacts."""
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+    from ..core import topology_device
+
+    devs = list(mesh.devices.flatten())
+    D = len(devs)
+    windows = list(range(first_section, last_section + 1))
+    cps_mem = cache.pop(("cps", c), None) if cache is not None else None
+
+    painters = []
+    for dev in devs:
+        with jax.default_device(dev):
+            painters.append(painting.Painter(ch.G, ch.r * rho_scale, model))
+    kernel = topology_device.make_section_kernel(theta, ch.N, ch.L, mode)
+
+    def _cp_for(w, dev):
+        cp = cps_mem[w] if cps_mem is not None \
+            else load_checkpoint(store, c, w)
+        if cp.a0_dev is not None and cp.a0_dev.devices() != {dev}:
+            cp = painting.Checkpoint(
+                alpha=cp._alpha, beta=cp._beta, ls_alpha=cp.ls_alpha,
+                ls_beta=cp.ls_beta, bsb=cp.bsb, bse=cp.bse,
+                a0_dev=jax.device_put(cp.a0_dev, dev),
+                be_dev=jax.device_put(cp.be_dev, dev), n=cp._n)
+        return cp
+
+    def _run_dev(k):
+        dev = devs[k]
+        out = []
+        with jax.default_device(dev):
+            for w in windows[k::D]:
+                start = bounds[w]
+                end = (bounds[w + 1] - 1) if w < W - 1 else ch.L - 1
+                end = min(end, ch.L - 1)
+                res = topology_device.build_topology_section_device(
+                    painters[k], _cp_for(w, dev), ch.G, ch.rpos, ch.state,
+                    ch.bp, start, end, seed=int(sec_seeds[w]), mode=mode,
+                    fb=fb, kernel=kernel)
+                out.append((w, res))
+        return out
+
+    with ThreadPoolExecutor(max_workers=D) as pool:
+        parts = list(pool.map(_run_dev, range(D)))
+    results = dict(p for part in parts for p in part)
+
+    for w in windows:
+        res = results[w]
+        res.anc.sample_ages = ages
+        ancmut.write_anc_bin(store.path(f"chunk_{c}", f"trees_{w}.anc"),
+                             res.anc)
+        ancmut.get_age(res.anc, res.muts)
+        ancmut.write_mut_short(store.path(f"chunk_{c}", f"muts_{w}.mut"),
+                               res.muts)
+        if cache is not None:
+            cache[("anc", c, w)] = res.anc
+            cache[("muts", c, w)] = res.muts
 
 
 def _associate_many(all_trees):

@@ -228,17 +228,26 @@ def _pair_kernel(N: int, M: int):
 
 
 def branch_association_many_device(trees: List[Tree],
-                                   pair_chunk: int = 256
+                                   pair_chunk: int = None
                                    ) -> List[np.ndarray]:
     """Equivalences for every adjacent pair of ``trees``, computed on
     device in ``pair_chunk``-pair batches by the exact unbounded
     while-loop matcher (no candidate buffers, no host fallback — see
-    ``_match_pair``)."""
+    ``_match_pair``).
+
+    The chunk is sized from device memory: each pair holds an (M, N)
+    leaf matrix and an (M, M) correlation product on device
+    (~100 MB/pair at N=2048 — a fixed 256-pair chunk OOM'd 16 GB HBM)."""
     T = len(trees)
     if T < 2:
         return []
     N = trees[0].N
     M = trees[0].num_nodes
+    if pair_chunk is None:
+        from ..utils.devmem import device_hbm_gb
+        per_pair = 4.0 * (2 * M * N + M * M)    # leafmats + prod, f32
+        budget = device_hbm_gb() * 1e9 * 0.25
+        pair_chunk = int(max(2, min(256, budget / max(per_pair, 1.0))))
     kernel = _pair_kernel(N, M)
     parent = np.stack([t.parent for t in trees]).astype(np.int32)
     cl = np.stack([t.child_left for t in trees]).astype(np.int32)

@@ -679,12 +679,25 @@ def run_all(haps_path: str, sample_path: str, map_path: str, output: str,
             cache = None
         else:
             cache = {} if fin_cache is None else fin_cache
+        # the paint->build checkpoint handoff has its own (bounded) cache:
+        # re-reading + re-uploading a 2x(N,N) checkpoint npz per section
+        # costs seconds each at N>=2048, and the FEB streaming threshold
+        # shouldn't disable it. Bounded by total slab bytes.
+        paint_cache = cache
+        if cache is None:
+            W_bytes = 2 * 4 * plan.N * plan.N * W_c
+            if W_bytes <= float(os.environ.get(
+                    "RELATE_TPU_CP_HANDOFF_BYTES", "4e9")):
+                paint_cache = {}
         with stage(f"chunk{c}.paint", verbose):
             paint(store, c, theta, rho_scale=rho_scale, mesh=mesh,
-                  cache=cache)
+                  cache=paint_cache)
         with stage(f"chunk{c}.build_topology", verbose):
             build_topology(store, c, seed=seed, theta=theta,
-                           rho_scale=rho_scale, mesh=mesh, cache=cache)
+                           rho_scale=rho_scale, mesh=mesh,
+                           cache=paint_cache)
+        if paint_cache is not None and cache is None:
+            paint_cache.clear()
         with stage(f"chunk{c}.find_equivalent_branches", verbose):
             find_equivalent_branches(store, c, cache=cache)
         if postprocess:

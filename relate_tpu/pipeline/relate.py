@@ -173,6 +173,17 @@ def build_topology(store: ArtifactStore, c: int, seed: int = 1,
                     ancestral_state=ancestral_state, fb=fb,
                     sample_ages=ages)
             t_dev += _time.time() - t0
+            # free this window's device-resident checkpoint slabs NOW: the
+            # handoff list pins 2 x (Npad, Bp) f32 per window in HBM, and
+            # holding all W of them through the build (plus the ~GB-scale
+            # transient repaint cubes) exhausted HBM at N=2048 x 80 windows
+            # — the allocator stall presented as a silent hang mid-stage.
+            # Host copies were materialized by paint()'s npz write, so
+            # dropping the device refs costs nothing.
+            if cps_mem is not None and cp.a0_dev is not None:
+                cp.alpha, cp.beta  # noqa: B018 — force host materialization
+                cp.a0_dev = None
+                cp.be_dev = None
             if cache is not None:
                 cache[("anc", c, w)] = res.anc
                 cache[("muts", c, w)] = res.muts
@@ -234,6 +245,12 @@ def _build_topology_section_parallel(store, c, ch, model, bounds, W,
                     painters[k], _cp_for(w, dev), ch.G, ch.rpos, ch.state,
                     ch.bp, start, end, seed=int(sec_seeds[w]), mode=mode,
                     fb=fb, kernel=kernel)
+                # drop the consumed window's device slabs (see the serial
+                # loop: pinning all W of them through the stage OOMs HBM)
+                if cps_mem is not None and cps_mem[w].a0_dev is not None:
+                    cps_mem[w].alpha, cps_mem[w].beta  # noqa: B018
+                    cps_mem[w].a0_dev = None
+                    cps_mem[w].be_dev = None
                 out.append((w, res))
         return out
 

@@ -51,12 +51,21 @@ class _Carry(NamedTuple):
     num_tree: jnp.ndarray     # () i32
 
 
-def _map_on_tree(leafmat, csize, car, tc, N, M, thr):
+def _map_on_tree(leafmat, csize, car, tc, N, M, thr, cc=None):
     """Vectorized MapMutation (see mapmutation.py for the host twin).
+
+    ``cc`` (the per-branch carrier counts ``leafmat @ car``) may be passed
+    in precomputed — the section scan computes it for KB SNPs at a time in
+    one MXU matmul instead of re-streaming the (M, N) leafmat from HBM at
+    every step (at N=5008 that stream is 200MB x 2 per SNP and dominated
+    the whole build stage). Products/sums of 0/1 entries are exact in the
+    MXU's bf16xbf16->f32 path, so blocked and per-step results are
+    bit-identical.
 
     Returns (is_mapping, branch, flipped, min_value)."""
     tnc = N - tc
-    cc = leafmat @ car                      # (M,)
+    if cc is None:
+        cc = leafmat @ car                  # (M,)
     icn = csize - cc
     nc_ = tc - cc
     cnc = tnc - icn
@@ -237,8 +246,19 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
                                  is_exact, wl.astype(jnp.float32),
                                  wr.astype(jnp.float32), kcol)
 
-        def step(c: _Carry, xs):
-            (snp, car, state_flag, force_flag, rpos_snp, nxt_row, valid,
+        # SNPs are processed in blocks of KB: each block's per-branch
+        # carrier counts (leafmat @ car) are computed in ONE MXU matmul and
+        # refreshed only when a rebuild replaces the tree mid-block.
+        # Per-step work then touches (M,) vectors instead of streaming the
+        # (M, N) leafmat from HBM twice per SNP — at N=5008 that stream is
+        # 2 x 200MB per step and dominated the whole build stage. The 0/1
+        # operands make the bf16 MXU path exact, so results are
+        # bit-identical to the per-step formulation.
+        KB = 64
+
+        def inner_step(cext, xs):
+            c, csize, ccb, car_blk_f = cext
+            (kk, snp, car, state_flag, force_flag, rpos_snp, nxt_row, valid,
              is_first, skey) = xs
             car_f = car.astype(jnp.float32)
             tc = car_f.sum()
@@ -248,9 +268,9 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
             rpos_prev = jnp.where(adv & (car > 0), rpos_snp, c.rpos_prev)
             c = c._replace(row=row, rpos_prev=rpos_prev)
 
-            csize = c.leafmat.sum(axis=1)
+            cc = jax.lax.dynamic_slice_in_dim(ccb, kk, 1, axis=1)[:, 0]
             im, branch, flipped, minv = _map_on_tree(
-                c.leafmat, csize, car_f, tc, N, M, thr_map)
+                c.leafmat, csize, car_f, tc, N, M, thr_map, cc=cc)
 
             add_ev = ((im <= 2) & (branch >= 0)
                       & (((branch == M - 1) & (tc == N))
@@ -261,7 +281,8 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
 
             do_rebuild = valid & ~is_first & ((im > 1) | force_flag)
 
-            def rebuild(c):
+            def rebuild(ca):
+                c, csize, ccb = ca
                 mat = assemble(c.row, car_f, c.rpos_prev, nxt_row, rpos_snp,
                                (snp == 0) | (snp == L - 1))
                 mat = mat + val * car_f[:, None] * (1.0 - car_f[None, :])
@@ -299,16 +320,31 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
                                     c, acc)
                 rec = tuple(jnp.where(revert, a, b)
                             for a, b in zip(out_rev, out_acc))
-                return cout, rec
+                # refresh the block's carrier counts against the new tree
+                ccb2 = new_leafmat @ car_blk_f.T
+                csize_out = jnp.where(revert, csize, csize2)
+                ccb_out = jnp.where(revert, ccb, ccb2)
+                return (cout, csize_out, ccb_out), rec
 
-            def norebuild(c):
+            def norebuild(ca):
+                c, csize, ccb = ca
                 zm = jnp.zeros((N - 1, 2), jnp.int32)
-                return c, (jnp.bool_(False), c.events, zm,
-                           im.astype(jnp.int8), branch, flipped,
-                           c.num_tree - 1)
+                return (c, csize, ccb), (jnp.bool_(False), c.events, zm,
+                                         im.astype(jnp.int8), branch,
+                                         flipped, c.num_tree - 1)
 
-            c2, rec = jax.lax.cond(do_rebuild, rebuild, norebuild, c)
-            return c2, rec
+            (c2, csize2, ccb2), rec = jax.lax.cond(
+                do_rebuild, rebuild, norebuild, (c, csize, ccb))
+            return (c2, csize2, ccb2, car_blk_f), rec
+
+        def outer_step(cext, xs_blk):
+            c, csize = cext
+            car_blk_f = xs_blk[1].astype(jnp.float32)       # (KB, N)
+            ccb = c.leafmat @ car_blk_f.T                   # (M, KB)
+            kks = jnp.arange(KB, dtype=jnp.int32)
+            (c, csize, _, _), recs = jax.lax.scan(
+                inner_step, (c, csize, ccb, car_blk_f), (kks,) + xs_blk)
+            return (c, csize), recs
 
         # first tree: plain build from the start-SNP matrix
         cis, cjs, clades = _ms(
@@ -328,7 +364,14 @@ def make_section_kernel(model_theta: float, N: int, L: int, mode: int,
         is_first = jnp.zeros(S, bool).at[0].set(True)
         xs = (snps, car_mat, state_vec, force_vec, rpos_vec, nxt_mat,
               valid_vec, is_first, keys)
-        c, recs = jax.lax.scan(step, c, xs)
+        # (S, ...) -> (S//KB, KB, ...) blocks for the two-level scan
+        # (the caller pads S to a power-of-two bucket >= 64)
+        xs_blk = jax.tree.map(
+            lambda a: a.reshape((S // KB, KB) + a.shape[1:]), xs)
+        csize0 = c.leafmat.sum(axis=1)
+        (c, _), recs = jax.lax.scan(outer_step, (c, csize0), xs_blk)
+        recs = jax.tree.map(
+            lambda a: a.reshape((S,) + a.shape[2:]), recs)
         return first_merges, c.events, c.num_tree, recs
 
     jitted = jax.jit(kernel)

@@ -5,8 +5,9 @@ control flow with host/device round-trips at every rebuild; over a remote
 TPU link each round-trip costs ~100ms, which dwarfs the compute. This module
 compiles the ENTIRE per-section SNP loop — mutation mapping, rebuild
 decision, distance assembly, same-rpos/clade priors, the MinMatch merge
-scan, accept/revert bookkeeping — into a single ``lax.scan`` program, so a
-section is one device call regardless of length.
+scan, accept/revert bookkeeping — into a single two-level ``lax.scan``
+program (64-SNP blocks whose carrier counts come from one MXU matmul each),
+so a section is one device call regardless of length.
 
 Semantics follow ``AncesTreeBuilder::BuildTopology``
 (include/src/anc_builder.cpp:397-656) like topology.py, with one

@@ -45,6 +45,13 @@ TPU mechanics (all probed on v5e, scripts/probe_mosaic.py):
   containing the row's lane (dynamic aligned lane slice).
 
 `merge_scan_inc_host` is the bit-exact NumPy twin used by the tests.
+
+Measured (v5e, N=5008, scripts/profile_n5008.py round 5): ~0.55 s/tree,
+FLAT across KP=128/256/512 — the pending-cache flush is NOT the
+bottleneck; the cost is the ~110 us/step serial chain (group-DMA
+round-trips + the repair loop's sequential row rescans). Further speedup
+needs restructuring of that chain (batched/speculative repairs), not
+cache tuning.
 """
 from __future__ import annotations
 
